@@ -1,0 +1,141 @@
+"""Occupancy query-point sampling + CFAR helper augmentation.
+
+Behavioral parity with the reference dataset's query construction
+(``datasets/aligned_coloradar/Coloradar_dataset.py``:
+``transform_voxels_to_query_points`` :237-294, ``get_empty_voxel_centers``
+:335-363) and ``datasets/utils/query_helper.py:aug_query_helper`` (:3-43).
+
+All functions are host-side numpy with fixed output shapes and take an
+explicit ``np.random.Generator`` (the reference creates a fresh
+``default_rng()`` per call — here seeding is pushed to the caller for
+reproducible pipelines).
+"""
+from __future__ import annotations
+
+import numpy as np
+
+
+def voxel_centers(coords_zyx: np.ndarray, voxel_size, pc_range) -> np.ndarray:
+    """(z, y, x) voxel coords -> metric voxel-center coordinates
+    (reference: Coloradar_dataset.py:245-251)."""
+    voxel_size = np.asarray(voxel_size, dtype=np.float32)
+    pc_range = np.asarray(pc_range, dtype=np.float32)
+    xyz = coords_zyx[:, ::-1].astype(np.float32)
+    return xyz * voxel_size + voxel_size / 2 + pc_range[:3]
+
+
+def empty_voxel_centers(
+    coords_xyz: np.ndarray,
+    grid_size,
+    n: int,
+    voxel_size,
+    pc_range,
+    rng: np.random.Generator,
+) -> np.ndarray:
+    """Sample n centers of *unoccupied* voxels
+    (reference: Coloradar_dataset.py:335-363).
+
+    The occupancy grid is built once per frame; sampling is with replacement
+    over the empty set, matching ``torch.randint`` in the reference.
+    """
+    grid_size = tuple(int(g) for g in grid_size)
+    occupied = np.zeros(grid_size, dtype=bool)
+    ci = coords_xyz.astype(np.int64)
+    occupied[ci[:, 0], ci[:, 1], ci[:, 2]] = True
+    empty_flat = np.flatnonzero(~occupied.reshape(-1))
+    pick = empty_flat[rng.integers(0, len(empty_flat), size=n)]
+
+    gz = grid_size[2]
+    gy = grid_size[1]
+    x = pick // (gy * gz)
+    y = (pick // gz) % gy
+    z = pick % gz
+    centers = np.stack([x, y, z], axis=1).astype(np.float32)
+    voxel_size = np.asarray(voxel_size, dtype=np.float32)
+    pc_range = np.asarray(pc_range, dtype=np.float32)
+    return centers * voxel_size + voxel_size / 2 + pc_range[:3]
+
+
+def sample_train_queries(
+    coords_zyx: np.ndarray,
+    grid_size,
+    voxel_size,
+    pc_range,
+    in_num: int,
+    out_num: int,
+    rng: np.random.Generator,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Training queries: ``in_num`` jittered points inside occupied voxels
+    (label 1) + ``out_num`` jittered points inside empty voxels (label 0)
+    (reference: Coloradar_dataset.py:254-278)."""
+    voxel_size = np.asarray(voxel_size, dtype=np.float32)
+    centers = voxel_centers(coords_zyx, voxel_size, pc_range)
+    coords_xyz = coords_zyx[:, ::-1]
+
+    jitter_in = rng.uniform(-voxel_size / 2, voxel_size / 2, size=(in_num, 3)).astype(np.float32)
+    pick = rng.choice(len(centers), in_num, replace=True)
+    points_in = centers[pick] + jitter_in
+
+    jitter_out = rng.uniform(-voxel_size / 2, voxel_size / 2, size=(out_num, 3)).astype(np.float32)
+    empties = empty_voxel_centers(coords_xyz, grid_size, out_num, voxel_size, pc_range, rng)
+    points_out = empties + jitter_out
+
+    queries = np.concatenate([points_in, points_out], axis=0).astype(np.float32)
+    labels = np.concatenate([np.ones(in_num), np.zeros(out_num)]).astype(np.float32)
+    return queries, labels
+
+
+def sample_eval_queries(
+    coords_zyx: np.ndarray,
+    voxel_size,
+    pc_range,
+    num: int,
+    rng: np.random.Generator,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Eval queries: ``num`` jittered in-voxel points, all labeled 1
+    (reference: Coloradar_dataset.py:279-290)."""
+    voxel_size = np.asarray(voxel_size, dtype=np.float32)
+    centers = voxel_centers(coords_zyx, voxel_size, pc_range)
+    jitter = rng.uniform(-voxel_size / 2, voxel_size / 2, size=(num, 3)).astype(np.float32)
+    pick = rng.choice(len(centers), num, replace=True)
+    queries = (centers[pick] + jitter).astype(np.float32)
+    return queries, np.ones(num, dtype=np.float32)
+
+
+def aug_query_helper(
+    helper_points: np.ndarray,
+    aug_num: int,
+    pc_range,
+    voxel_size,
+    aug_bias_scale: int = 2,
+    rng: np.random.Generator | None = None,
+) -> np.ndarray:
+    """Densify CFAR helper points to a fixed count by jittering
+    (reference: datasets/utils/query_helper.py:3-43).
+
+    If there are already >= aug_num points, the first aug_num are returned;
+    otherwise the originals are kept and the remainder is filled with points
+    jittered by up to ``scale * voxel_size`` (scale sampled in
+    [1, aug_bias_scale]), clipped to pc_range.
+    """
+    assert helper_points.shape[1] == 3
+    if rng is None:
+        rng = np.random.default_rng()
+    pc_range = np.asarray(pc_range, dtype=np.float32)
+    voxel_size = np.asarray(voxel_size, dtype=np.float32)
+
+    n = helper_points.shape[0]
+    out = np.zeros((aug_num, 3), dtype=np.float32)
+    if n >= aug_num:
+        out[:] = helper_points[:aug_num]
+        return out
+
+    gen = aug_num - n
+    pick = rng.choice(n, size=gen, replace=True)
+    scales = rng.choice(np.arange(1, aug_bias_scale + 1), size=gen)
+    bias = (rng.random((gen, 3)).astype(np.float32) * 2 - 1) * (voxel_size * scales[:, None])
+    aug = np.clip(helper_points[pick] + bias, pc_range[:3], pc_range[3:6])
+
+    out[:n] = helper_points
+    out[n:] = aug
+    return out

@@ -1,0 +1,140 @@
+"""Synthetic ColoRadar-layout dataset generator (tests + benchmarks).
+
+The real ColoRadar/HUST-Radar data is not shipped with either repo; this
+module writes a miniature dataset tree with the exact on-disk layout the
+datasets expect (split JSON, ``lidar_sc/*.bin`` float32 xyz, single-chip
+``radarcube_raw/*.bin`` (R, A, E, 3) cubes, ``radar_cfar_low_thrd/*.bin``
+helper points) so the full input pipeline, training loop, and eval harness
+can be exercised end-to-end anywhere.
+
+Scenes are simple rooms (floor + two walls + a few boxes) so the occupancy
+task has learnable structure, not pure noise.
+"""
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import numpy as np
+
+from rald_tpu import geometry as geo
+
+
+def _room_points(rng: np.random.Generator, n: int) -> np.ndarray:
+    """Sample points on a synthetic room inside the radar FOV (cartesian)."""
+    surfaces = []
+    # floor at z = -1.5, x in [1, 12], y in [-6, 6]
+    k = n // 3
+    xy = rng.uniform([1.0, -6.0], [12.0, 6.0], size=(k, 2))
+    surfaces.append(np.column_stack([xy, np.full(k, -1.5)]))
+    # back wall at x = 12
+    yz = rng.uniform([-6.0, -1.5], [6.0, 3.0], size=(k, 2))
+    surfaces.append(np.column_stack([np.full(k, 12.0), yz]))
+    # a few boxes
+    m = n - 2 * k
+    centers = rng.uniform([3.0, -4.0, -1.0], [10.0, 4.0, 1.0], size=(4, 3))
+    box = rng.uniform(-0.5, 0.5, size=(m, 3))
+    surfaces.append(centers[rng.integers(0, 4, m)] + box)
+    pts = np.concatenate(surfaces).astype(np.float32)
+    # jitter for realism
+    pts += rng.normal(scale=0.01, size=pts.shape).astype(np.float32)
+    # keep inside the view cone FOV
+    polar = geo.cartesian2polar(pts)
+    keep = geo.polar_range_mask(polar, [[0.5, 15.5], [-85, 85], [-19, 19]])
+    return pts[keep]
+
+
+def make_synthetic_coloradar(
+    root: str | Path,
+    num_train_seqs: int = 2,
+    num_eval_seqs: int = 1,
+    frames_per_seq: int = 4,
+    points_per_frame: int = 16000,
+    radar_shape: tuple[int, int, int] = (128, 8, 2),
+    helper_points: int = 512,
+    seed: int = 0,
+) -> Path:
+    """Write a synthetic dataset tree; returns the root path."""
+    root = Path(root)
+    rng = np.random.default_rng(seed)
+    r_dim, a_dim, e_dim = radar_shape
+
+    seqs = [f"synth_seq_{i}" for i in range(num_train_seqs + 2 * num_eval_seqs)]
+    split = {
+        "train": seqs[:num_train_seqs],
+        "val": seqs[num_train_seqs : num_train_seqs + num_eval_seqs],
+        "test": seqs[num_train_seqs + num_eval_seqs :],
+    }
+    root.mkdir(parents=True, exist_ok=True)
+    with open(root / "split_synth.json", "w") as f:
+        json.dump(split, f)
+
+    for seq in seqs:
+        lidar_dir = root / seq / "lidar_sc"
+        radar_dir = root / seq / "single_chip" / "radarcube_raw"
+        helper_dir = root / seq / "single_chip" / "radar_cfar_low_thrd"
+        for d in (lidar_dir, radar_dir, helper_dir):
+            d.mkdir(parents=True, exist_ok=True)
+        for i in range(frames_per_seq):
+            pts = _room_points(rng, points_per_frame)
+            while pts.shape[0] < points_per_frame:  # FOV crop may drop a few
+                pts = np.concatenate([pts, _room_points(rng, points_per_frame)])
+            pts = pts[:points_per_frame]
+            pts.astype(np.float32).tofile(lidar_dir / f"{i:04d}.bin")
+
+            cube = np.zeros((r_dim, a_dim, e_dim, 3), dtype=np.float32)
+            cube[..., 0] = rng.gamma(2.0, 6.0, size=(r_dim, a_dim, e_dim))  # intensity dB-ish
+            cube[..., 1] = rng.normal(scale=0.5, size=(r_dim, a_dim, e_dim))  # velocity
+            cube[..., 2] = (rng.random((r_dim, a_dim, e_dim)) > 0.5).astype(np.float32)
+            cube.tofile(radar_dir / f"{i:04d}.bin")
+
+            hp = geo.cartesian2polar(_room_points(rng, helper_points * 2)[:helper_points])
+            hp.astype(np.float32).tofile(helper_dir / f"{i:04d}.bin")
+
+    return root
+
+
+def synthetic_dataset_config(root: str | Path, view_cone: bool = True):
+    """A Config matching the synthetic tree (mirrors configs/ae/*.yml keys)."""
+    from rald_tpu.config import Config
+
+    return Config(
+        {
+            "dataset_name": "AlignedColoRadar",
+            "root_dir": str(root),
+            "split_file": "split_synth.json",
+            "radar_type": "scRadar",
+            "lidar": {
+                "pc_range": [0, -90, -20, 15.8, 90, 20] if view_cone else [0, -15, -5, 15, 15, 5],
+                "num_point_features": 3,
+                "voxel_size": [0.05, 0.25, 0.5] if view_cone else [0.05, 0.05, 0.05],
+                "max_points_per_voxel": 10,
+                "max_number_of_voxels": 50000,
+                "sampling": True,
+                "num_samples": 10000,
+                "query_ratio": 0.0625,
+                "norm_isotropy": False,
+                "norm_anisotropy": True,
+                "cache_voxel": False,
+                "view_cone_mode": view_cone,
+            },
+            "radar": {
+                "input_r_dim": 128,
+                "input_a_dim": 8,
+                "input_e_dim": 2,
+                "input_ch": 3,
+                "upsample": True,
+                "tgt_r_dim": 128,
+                "tgt_a_dim": 64,
+                "tgt_e_dim": 32,
+                "norm_intensity": True,
+                "max_intensity": 45,
+                "norm_dopp": True,
+                "max_dopp": 2.4958,
+            },
+            "batch_size": 2,
+            "num_workers": 2,
+            "eval_batch_size": 1,
+            "eval_num_workers": 1,
+        }
+    )
