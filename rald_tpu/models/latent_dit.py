@@ -1,0 +1,223 @@
+"""Stage-2 latent diffusion model: AdaLN latent transformer + EDM preconditioner.
+
+Capability parity with ``model/models_radar_generation.py``:
+
+- :class:`LatentDiTBlock`        <- ``BasicTransformerBlock`` (:133-169):
+  self-attn, cross-attn to condition tokens, gated-GEGLU FF, each behind an
+  AdaLayerNorm modulated by the noise-level embedding.
+- :class:`LatentArrayTransformer` <- :171-233: linear in-proj, ``depth``
+  blocks, final LayerNorm, zero-initialized linear out-proj; noise embedding
+  = Fourier features -> 2-layer silu MLP.
+- :class:`EDMPrecond`            <- :314-449: EDM c_skip/c_out/c_in/c_noise
+  preconditioning around the transformer, plus radar conditioning
+  (``process_radar_cond`` :363-407): intensity-only slice -> optional
+  in-graph 3D-CNN radar encoder -> linear token projection -> factored
+  R/A/E learned positional embeddings -> flattened (B, R*A*E, C) tokens.
+
+TPU notes:
+- Condition tokens are computed ONCE per call chain and passed down — the
+  reference recomputes ``process_radar_cond`` (including the full 3D-CNN
+  encoder) inside every one of the sampler's 35 NFEs (:412-415); here the
+  sampler precomputes them outside its ``lax.scan`` (see
+  :mod:`rald_tpu.diffusion.edm`), a ~35x saving on conditioning compute.
+- The frozen-radar-encoder path takes *pre-encoded* (B, R', A', E', z) tokens
+  (the reference applies the frozen encoder in the engine,
+  ``engine_generation.py:85-87``; its in-model intensity slice :378 would
+  break on such inputs — dead code in the published configs — so here the
+  slice applies only to raw cubes).
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from rald_tpu.nn.layers import AdaLayerNorm, Attention, FourierTimeEmbedding, GEGLUFeedForward
+from rald_tpu.models.radar_encoder3d import RadarEncoder3D
+
+Dtype = jnp.dtype
+
+
+class LatentDiTBlock(nn.Module):
+    n_heads: int = 8
+    d_head: int = 64
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,
+        t_emb: jax.Array,
+        cond: Optional[jax.Array] = None,
+        deterministic: bool = True,
+    ) -> jax.Array:
+        x = x + Attention(
+            heads=self.n_heads, dim_head=self.d_head, fused_kv=False, dtype=self.dtype, name="attn1"
+        )(AdaLayerNorm(dtype=self.dtype, name="norm1")(x, t_emb), deterministic=deterministic)
+        x = x + Attention(
+            heads=self.n_heads, dim_head=self.d_head, fused_kv=False, dtype=self.dtype, name="attn2"
+        )(
+            AdaLayerNorm(dtype=self.dtype, name="norm2")(x, t_emb),
+            context=cond,
+            deterministic=deterministic,
+        )
+        x = x + GEGLUFeedForward(dtype=self.dtype, name="ff")(
+            AdaLayerNorm(dtype=self.dtype, name="norm3")(x, t_emb), deterministic=deterministic
+        )
+        return x
+
+
+class LatentArrayTransformer(nn.Module):
+    in_channels: int
+    t_channels: int = 256
+    n_heads: int = 8
+    d_head: int = 64
+    depth: int = 12
+    out_channels: Optional[int] = None
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,
+        t: jax.Array,
+        cond: Optional[jax.Array] = None,
+        deterministic: bool = True,
+    ) -> jax.Array:
+        inner = self.n_heads * self.d_head
+        out_ch = self.out_channels or self.in_channels
+
+        t_emb = FourierTimeEmbedding(self.t_channels, name="map_noise")(t)[:, None, :]
+        t_emb = jax.nn.silu(nn.Dense(inner, dtype=self.dtype, name="map_layer0")(t_emb.astype(self.dtype)))
+        t_emb = jax.nn.silu(nn.Dense(inner, dtype=self.dtype, name="map_layer1")(t_emb))
+
+        x = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="proj_in")(x)
+        for i in range(self.depth):
+            x = LatentDiTBlock(
+                n_heads=self.n_heads, d_head=self.d_head, dtype=self.dtype, name=f"block_{i}"
+            )(x, t_emb, cond, deterministic)
+        x = nn.LayerNorm(dtype=self.dtype, name="norm")(x)
+        # zero-init output projection (reference zero_module, :198-201)
+        return nn.Dense(
+            out_ch, use_bias=False, kernel_init=nn.initializers.zeros, dtype=self.dtype, name="proj_out"
+        )(x)
+
+
+class EDMPrecond(nn.Module):
+    """EDM-preconditioned conditional denoiser over the latent token set."""
+
+    n_latents: int = 512
+    channels: int = 8
+    sigma_min: float = 0.0
+    sigma_max: float = float("inf")
+    sigma_data: float = 1.0
+    n_heads: int = 8
+    d_head: int = 64
+    depth: int = 12
+    # radar conditioning (reference :339-361)
+    cond_type: str = "radar"
+    use_radar_enc: bool = True
+    unfreeze_radar_enc: bool = True
+    radar_token_channel: int = 512
+    input_radar_dims: tuple = (128, 8, 2)  # (R, A, E) of the raw cube
+    enc_radar_dims: tuple = (8, 4, 2)  # (R', A', E') after the 3D-CNN encoder
+    enc_radar_ch: int = 16
+    enc_hidden_ch: int = 64
+    dtype: Dtype = jnp.float32
+
+    def setup(self):
+        self.model = LatentArrayTransformer(
+            in_channels=self.channels,
+            t_channels=256,
+            n_heads=self.n_heads,
+            d_head=self.d_head,
+            depth=self.depth,
+            dtype=self.dtype,
+        )
+        if self.cond_type == "radar":
+            if self.unfreeze_radar_enc:
+                self.radar_enc = RadarEncoder3D(
+                    ch=self.enc_hidden_ch, z_channels=self.enc_radar_ch, dtype=self.dtype
+                )
+            if self.use_radar_enc:
+                r_dim, a_dim, e_dim = self.enc_radar_dims
+                token_in_ch = self.enc_radar_ch
+            else:
+                r_dim, a_dim, e_dim = self.input_radar_dims
+                token_in_ch = 1
+            init = nn.initializers.normal(1.0)
+            self.radar_r_emb = self.param("radar_r_emb", init, (r_dim, self.radar_token_channel))
+            self.radar_a_emb = self.param("radar_a_emb", init, (a_dim, self.radar_token_channel))
+            self.radar_e_emb = self.param("radar_e_emb", init, (e_dim, self.radar_token_channel))
+            self.radar_token_project = nn.Dense(self.radar_token_channel, dtype=self.dtype)
+            del token_in_ch  # input dim is inferred by flax at first call
+
+    def process_radar_cond(self, radar_cube: jax.Array, deterministic: bool = True) -> jax.Array:
+        """Radar conditioning -> (B, R*A*E, C) tokens (reference :363-407).
+
+        ``radar_cube``: raw (B, R, A, E, ch>=1) cube when the in-graph encoder
+        is used (or no encoder at all), else pre-encoded (B, R', A', E', z)
+        tokens from a frozen external encoder.
+        """
+        if self.unfreeze_radar_enc:
+            x = radar_cube[..., :1]  # intensity only (reference :378)
+            x = self.radar_enc(x, deterministic)  # (B, R', A', E', z)
+        elif not self.use_radar_enc:
+            x = radar_cube[..., :1]
+        else:
+            x = radar_cube  # already encoded by a frozen external encoder
+
+        tokens = self.radar_token_project(x.astype(self.dtype))
+        tokens = (
+            tokens
+            + self.radar_r_emb[None, :, None, None, :]
+            + self.radar_a_emb[None, None, :, None, :]
+            + self.radar_e_emb[None, None, None, :, :]
+        )
+        b = tokens.shape[0]
+        return tokens.reshape(b, -1, self.radar_token_channel)
+
+    def denoise(
+        self,
+        x: jax.Array,
+        sigma: jax.Array,
+        cond_tokens: Optional[jax.Array] = None,
+        deterministic: bool = True,
+    ) -> jax.Array:
+        """EDM-preconditioned denoiser D(x; sigma) (reference forward, :412-430).
+
+        ``cond_tokens`` must already be processed (``process_radar_cond``) —
+        precompute them once per sampling loop.
+        """
+        x = x.astype(jnp.float32)
+        sigma = jnp.broadcast_to(jnp.asarray(sigma, jnp.float32).reshape(-1, 1, 1), (x.shape[0], 1, 1))
+
+        sd2 = self.sigma_data**2
+        c_skip = sd2 / (sigma**2 + sd2)
+        c_out = sigma * self.sigma_data * jax.lax.rsqrt(sigma**2 + sd2)
+        c_in = jax.lax.rsqrt(sd2 + sigma**2)
+        c_noise = jnp.log(sigma) / 4
+
+        f_x = self.model(
+            (c_in * x).astype(self.dtype),
+            c_noise.reshape(-1),
+            cond=cond_tokens,
+            deterministic=deterministic,
+        )
+        return c_skip * x + c_out * f_x.astype(jnp.float32)
+
+    def __call__(
+        self,
+        x: jax.Array,
+        sigma: jax.Array,
+        radar_cube: Optional[jax.Array] = None,
+        deterministic: bool = True,
+    ) -> jax.Array:
+        cond = (
+            self.process_radar_cond(radar_cube, deterministic)
+            if (self.cond_type == "radar" and radar_cube is not None)
+            else None
+        )
+        return self.denoise(x, sigma, cond, deterministic)
