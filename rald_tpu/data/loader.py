@@ -91,13 +91,20 @@ class DataLoader:
         num_workers: int = 4,
         drop_last: bool = True,
         prefetch: int = 2,
+        pad_last: bool = False,
     ):
+        """``pad_last``: fill a ragged final batch by repeating its last
+        index so every batch is exactly ``batch_size`` (keeps batches
+        mesh-shardable). Mirrors DistributedSampler's duplicate padding and
+        its caveat (reference main_ae.py:64-70: "This will slightly alter
+        validation results as extra duplicate entries are added")."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.sampler = sampler or ShardedSampler(len(dataset), shuffle=False)
         self.num_workers = max(1, num_workers)
         self.drop_last = drop_last
         self.prefetch = prefetch
+        self.pad_last = pad_last
 
     def __len__(self):
         n = len(self.sampler)
@@ -116,6 +123,8 @@ class DataLoader:
                 yield batch
                 batch = []
         if batch and not self.drop_last:
+            if self.pad_last:
+                batch = batch + [batch[-1]] * (self.batch_size - len(batch))
             yield batch
 
     def __iter__(self):

@@ -1,0 +1,109 @@
+"""Exact Chamfer distance, TPU-native (tiled brute force on the MXU).
+
+Capability parity with ``utils/utils.py:116-142``: symmetric mean euclidean
+nearest-neighbor distance, ``0.5 * mean(d_pred->gt) + 0.5 * mean(d_gt->pred)``,
+``inf`` for an empty prediction. The reference queries two scipy cKDTrees
+point-by-point in Python; trees don't map to TPUs, but exact brute force
+does — squared distances come from one ``|a|^2 + |b|^2 - 2 a.b^T`` matmul
+per (a-tile, b-tile) pair on the MXU, with a ``lax.scan`` running-min over
+b-tiles. O(N*M) FLOPs are cheap compared to the host round-trip the
+reference pays; results are exact, so metric parity is bitwise-safe up to
+float summation order.
+
+Ragged point counts (thresholded predictions vary per frame) are handled by
+padding to a static cap + validity masks (XLA needs static shapes);
+:func:`chamfer_distance` is the host convenience wrapper that pads to the
+next power of two to bound recompilation.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_BIG = 1e9  # coordinate for padded points: real pts are O(10m), so d2 ~ 1e18 dominates
+
+
+def _pad_to(x: jax.Array, n: int, value: float) -> jax.Array:
+    return jnp.pad(x, ((0, n - x.shape[0]), (0, 0)), constant_values=value)
+
+
+@partial(jax.jit, static_argnames=("chunk_a", "chunk_b"))
+def nearest_neighbor_dists(
+    a: jax.Array, b: jax.Array, chunk_a: int = 4096, chunk_b: int = 65536
+) -> jax.Array:
+    """For each point in ``a`` (N,3): euclidean distance to nearest in ``b`` (M,3).
+
+    Pad ``b``'s invalid rows with a huge coordinate — they never win the min.
+    Padded ``a`` rows produce garbage values the caller masks out.
+    """
+    n = a.shape[0]
+    ca = min(chunk_a, max(n, 8))
+    a_pad, _ = _pad_mult(a, ca)
+    cb = min(chunk_b, max(b.shape[0], 8))
+    b_pad, _ = _pad_mult(b, cb, value=_BIG)
+    b_chunks = b_pad.reshape(-1, cb, 3)
+
+    def per_a_chunk(ablk):
+        a2 = jnp.sum(ablk * ablk, axis=-1, keepdims=True)
+
+        def over_b(carry, bblk):
+            b2 = jnp.sum(bblk * bblk, axis=-1)
+            d2 = a2 + b2[None, :] - 2.0 * jnp.dot(ablk, bblk.T, preferred_element_type=jnp.float32)
+            return jnp.minimum(carry, jnp.min(d2, axis=1)), None
+
+        init = jnp.full((ablk.shape[0],), jnp.inf, dtype=jnp.float32)
+        out, _ = jax.lax.scan(over_b, init, b_chunks)
+        return jnp.sqrt(jnp.maximum(out, 0.0))
+
+    dists = jax.lax.map(per_a_chunk, a_pad.reshape(-1, ca, 3))
+    return dists.reshape(-1)[:n]
+
+
+def _pad_mult(x: jax.Array, multiple: int, value: float = 0.0):
+    pad = (-x.shape[0]) % multiple
+    if pad:
+        x = jnp.pad(x, ((0, pad), (0, 0)), constant_values=value)
+    return x, pad
+
+
+@partial(jax.jit, static_argnames=("chunk_a", "chunk_b"))
+def masked_chamfer(
+    pred: jax.Array,
+    pred_mask: jax.Array,
+    gt: jax.Array,
+    gt_mask: jax.Array,
+    chunk_a: int = 4096,
+    chunk_b: int = 65536,
+) -> jax.Array:
+    """Static-shape Chamfer for in-graph use: (pred, gt) padded with masks."""
+    pred_valid = jnp.where(pred_mask[:, None], pred, _BIG)
+    gt_valid = jnp.where(gt_mask[:, None], gt, _BIG)
+    d_pg = nearest_neighbor_dists(pred, gt_valid, chunk_a, chunk_b)
+    d_gp = nearest_neighbor_dists(gt, pred_valid, chunk_a, chunk_b)
+    n_pred = jnp.maximum(jnp.sum(pred_mask), 1)
+    n_gt = jnp.maximum(jnp.sum(gt_mask), 1)
+    mean_pg = jnp.sum(jnp.where(pred_mask, d_pg, 0.0)) / n_pred
+    mean_gp = jnp.sum(jnp.where(gt_mask, d_gp, 0.0)) / n_gt
+    cd = 0.5 * mean_pg + 0.5 * mean_gp
+    return jnp.where(jnp.sum(pred_mask) == 0, jnp.inf, cd)
+
+
+def chamfer_distance(pred: np.ndarray, gt: np.ndarray) -> float:
+    """Host API matching ``cal_metrics`` (utils/utils.py:116-137)."""
+    pred = np.asarray(pred, np.float32).reshape(-1, 3)
+    gt = np.asarray(gt, np.float32).reshape(-1, 3)
+    if len(pred) == 0:
+        return float("inf")
+    # pad to powers of two to bound the number of jit specializations
+    cap_p = max(8, 1 << (len(pred) - 1).bit_length())
+    cap_g = max(8, 1 << (len(gt) - 1).bit_length())
+    pred_pad = np.full((cap_p, 3), _BIG, np.float32)
+    pred_pad[: len(pred)] = pred
+    gt_pad = np.full((cap_g, 3), _BIG, np.float32)
+    gt_pad[: len(gt)] = gt
+    mask_p = np.arange(cap_p) < len(pred)
+    mask_g = np.arange(cap_g) < len(gt)
+    return float(masked_chamfer(pred_pad, mask_p, gt_pad, mask_g))

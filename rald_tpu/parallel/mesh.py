@@ -1,0 +1,120 @@
+"""Device mesh + sharding helpers: the TPU-native distributed runtime.
+
+Replaces the reference's NCCL/DDP plumbing (``utils/misc.py:214-246``,
+``torch.nn.parallel.DistributedDataParallel`` at ``main_ae.py:123``):
+
+- :func:`init_distributed` <- ``misc.init_distributed_mode`` (:214-246):
+  multi-host rendezvous via ``jax.distributed.initialize`` (JAX coordinator
+  replaces the TCP store; env-var discovery preserved).
+- :func:`make_mesh` builds the 1-D ``data`` mesh covering the reference's
+  only parallelism strategy (DDP, SURVEY.md §2c). Extra axes (e.g.
+  ``('data', 'model')``) are accepted for scale-out experiments.
+- :func:`shard_batch` places a host batch with batch-axis sharding;
+  :func:`replicated` places/constrains params. Gradient all-reduce is NOT
+  explicit anywhere: with sharded batch + replicated params under ``jit``,
+  XLA inserts the ``psum`` over ICI/DCN itself — that single compiler
+  decision covers DDP's entire backward-hook machinery.
+
+Metrics that must agree across processes are reduced in-graph (they come
+out of the jitted step already psum-averaged), which replaces
+``misc.all_reduce_mean`` (:367-375) and the ``SmoothedValue`` barrier+
+all_reduce dance (:39-50).
+"""
+from __future__ import annotations
+
+import os
+from typing import Any, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def enable_compilation_cache(cache_dir: Optional[str] = None) -> None:
+    """Persistent XLA compilation cache (big win on TPU: full-size programs
+    take 30-60s+ to compile; reruns then load in milliseconds).
+
+    Directory: ``RALD_TPU_CACHE_DIR`` env > argument > ``~/.cache/rald_tpu/xla``.
+    Safe to call multiple times.
+    """
+    cache_dir = os.environ.get("RALD_TPU_CACHE_DIR", cache_dir) or os.path.expanduser(
+        "~/.cache/rald_tpu/xla"
+    )
+    os.makedirs(cache_dir, exist_ok=True)
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass  # older jax without the knobs — cache is an optimization only
+
+
+def init_distributed() -> dict:
+    """Initialize multi-host JAX if a coordinator is configured.
+
+    Env surface mirrors the reference's discovery order (misc.py:214-230):
+    explicit JAX vars first, then torchrun-style RANK/WORLD_SIZE/MASTER_ADDR.
+    Single-process (the silent fallback at misc.py:231-235) needs nothing.
+    """
+    if jax.process_count() > 1:
+        return process_info()
+    coord = os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if coord is None and "MASTER_ADDR" in os.environ and "WORLD_SIZE" in os.environ:
+        coord = f"{os.environ['MASTER_ADDR']}:{os.environ.get('MASTER_PORT', '12355')}"
+    if coord is not None and int(os.environ.get("WORLD_SIZE", os.environ.get("JAX_NUM_PROCESSES", "1"))) > 1:
+        jax.distributed.initialize(
+            coordinator_address=coord,
+            num_processes=int(os.environ.get("WORLD_SIZE", os.environ["JAX_NUM_PROCESSES"])),
+            process_id=int(os.environ.get("RANK", os.environ.get("JAX_PROCESS_ID", "0"))),
+        )
+    return process_info()
+
+
+def process_info() -> dict:
+    return {
+        "rank": jax.process_index(),
+        "world_size": jax.process_count(),
+        "is_main_process": jax.process_index() == 0,
+        "local_device_count": jax.local_device_count(),
+        "global_device_count": jax.device_count(),
+    }
+
+
+def make_mesh(
+    devices: Optional[Sequence[jax.Device]] = None,
+    axis_names: Sequence[str] = ("data",),
+    axis_sizes: Optional[Sequence[int]] = None,
+) -> Mesh:
+    """1-D (default) or N-D device mesh over all (or given) devices."""
+    devices = list(devices if devices is not None else jax.devices())
+    if axis_sizes is None:
+        axis_sizes = [len(devices)] + [1] * (len(axis_names) - 1)
+    dev_array = np.asarray(devices).reshape(tuple(axis_sizes))
+    return Mesh(dev_array, tuple(axis_names))
+
+
+def data_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
+    """Batch-axis sharding (leading dim split over the data axis)."""
+    return NamedSharding(mesh, P(axis))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch: Any, mesh: Mesh, axis: str = "data") -> Any:
+    """Place a host batch (pytree of numpy arrays) with batch-axis sharding.
+
+    Non-array leaves (paths, strings) are passed through untouched — they
+    stay host-side.
+    """
+    sharding = data_sharding(mesh, axis)
+
+    def place(x):
+        if isinstance(x, (np.ndarray, jax.Array)) and getattr(x, "ndim", 0) >= 1:
+            if jax.process_count() > 1:
+                # each process contributes its local shard of the global batch
+                return jax.make_array_from_process_local_data(sharding, np.asarray(x))
+            return jax.device_put(x, sharding)
+        return x
+
+    return jax.tree_util.tree_map(place, batch)

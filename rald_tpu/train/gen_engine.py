@@ -1,0 +1,418 @@
+"""Stage-2 diffusion training/eval engine — the product path.
+
+Capability parity with ``engine_generation.py``:
+
+- train (:42-136): frozen-VAE latent encode (or disk-cached latents,
+  :74-83), optional frozen external radar encoder (:85-87), EDM loss (:93),
+  clip + AdamW + EMA(0.999), NaN abort.
+- evaluate (:138-355): EDM-sample latent tokens conditioned on the radar
+  cube, decode occupancy at the eval query set (loss/IoU), then at a fresh
+  uniform grid (+ CFAR helper points, ``query_helper``), threshold 0 ->
+  point cloud, optional refine pass (re-query jittered points around
+  positives, :292-310), polar->cartesian, Chamfer; ``test_sample_speed``
+  short-circuits metrics (:224-236); ``store_latent``/``store_pc`` dumps
+  (.npz latents / .ply clouds); ``use_pred_latent`` skips sampling.
+- cache_latents (:357-413): frozen-VAE latents for the train split ->
+  per-frame ``.npz`` keyed by sequence/frame.
+
+TPU re-design:
+- the sampling chain (35-NFE Heun scan + condition tokens computed once) and
+  the streaming query decode are each one jitted program; train step is one
+  jitted fused update like the AE engine.
+- eval decodes a *static* query count per frame (grid + helper cap) so one
+  compiled program serves every frame.
+"""
+from __future__ import annotations
+
+import math
+import sys
+from pathlib import Path
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from rald_tpu import geometry as geo
+from rald_tpu.data.query import aug_query_helper
+from rald_tpu.diffusion.edm import edm_loss, edm_sampler, sample_prior_latents
+from rald_tpu.eval.chamfer import chamfer_distance
+from rald_tpu.eval.occupancy import occupancy_metrics
+from rald_tpu.eval.ply import write_ply
+from rald_tpu.eval.queries import generate_query_points
+from rald_tpu.models.registry import get_ae_model, get_generation_model, get_radar_encoder_model
+from rald_tpu.parallel.mesh import make_mesh, shard_batch
+from rald_tpu.train.metrics import MetricLogger
+from rald_tpu.train.schedule import scale_base_lr, warmup_cosine_schedule
+from rald_tpu.train.state import TrainState, create_train_state
+
+
+def bce_with_logits(logits, labels):
+    return jnp.mean(optax.sigmoid_binary_cross_entropy(logits, labels))
+
+
+class GenerationEngine:
+    def __init__(self, cfg, mesh=None, seed: Optional[int] = None, dtype=None):
+        self.cfg = cfg
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.seed = int(cfg.system.get("seed", 0) if seed is None else seed)
+        if dtype is None:
+            dtype = jnp.dtype(cfg.system.get("compute_dtype", "float32"))
+        self.dtype = dtype
+
+        mc = cfg.ar_model.configs
+        self.model = get_generation_model(cfg.ar_model.name, mc, dtype=dtype)
+        overrides = cfg.ar_model.get("overrides")
+        if overrides:
+            self.model = self.model.copy(**overrides)
+        self.use_radar_cond = bool(mc.get("use_radar_cond", True))
+        self.frozen_radar_enc = bool(mc.get("use_radar_enc", True)) and not bool(
+            mc.get("unfreeze_radar_enc", False)
+        )
+
+        lidar = cfg.dataset.lidar
+        self.num_samples = int(lidar.num_samples)
+        self.use_cache_latent = bool(cfg.train.get("use_cache_latent", False))
+        self.vae = get_ae_model(cfg.lidar_ae.name, N=self.num_samples, dtype=dtype)
+        vae_overrides = cfg.lidar_ae.get("overrides")
+        if vae_overrides:
+            self.vae = self.vae.copy(**vae_overrides)
+        self.latent_std = float(cfg.lidar_ae.get("latent_std", 1.0))
+
+        self.radar_enc = None
+        if self.frozen_radar_enc:
+            self.radar_enc = get_radar_encoder_model(
+                cfg.radar_enc.name, in_channels=1, dtype=dtype
+            )
+            enc_overrides = cfg.radar_enc.get("overrides")
+            if enc_overrides:
+                self.radar_enc = self.radar_enc.copy(**enc_overrides)
+
+        t = cfg.train
+        self.ema_rate = 0.999
+        self.clip_grad = float(t.get("clip_grad", 0) or 0)
+        self.epochs = int(t.epochs)
+        self.warmup_epochs = float(t.get("warmup_epochs", 0))
+        self.min_lr = float(t.get("min_lr", 0.0))
+
+        self._train_step = jax.jit(self._train_step_impl, donate_argnums=(0,))
+        self._sample = jax.jit(self._sample_impl)
+        self._decode = jax.jit(self._decode_impl)
+        self._vae_encode = jax.jit(self._vae_encode_impl)
+        self._radar_encode = jax.jit(self._radar_encode_impl)
+
+    # ------------------------------------------------------------------ setup
+    def init_state(self, steps_per_epoch: int, world_batch: int) -> TrainState:
+        t = self.cfg.train
+        lr = t.get("lr")
+        if lr is None:
+            lr = scale_base_lr(float(t.blr), world_batch, int(t.get("accum_iter", 1)), 1)
+        self.lr_schedule = warmup_cosine_schedule(
+            lr, self.min_lr, self.warmup_epochs, self.epochs, steps_per_epoch
+        )
+        rng = jax.random.PRNGKey(self.seed)
+        x = jnp.zeros((1, self.model.n_latents, self.model.channels), jnp.float32)
+        sigma = jnp.ones((1,))
+        cube = self._dummy_cond()
+        variables = self.model.init(rng, x, sigma, cube)
+        state = create_train_state(variables["params"], self.lr_schedule, clip_grad=self.clip_grad)
+        from rald_tpu.parallel.mesh import replicated
+
+        return jax.device_put(state, replicated(self.mesh))
+
+    def _dummy_cond(self):
+        if not self.use_radar_cond:
+            return None
+        mc = self.cfg.ar_model.configs
+        if self.model.unfreeze_radar_enc or not self.model.use_radar_enc:
+            r = self.cfg.dataset.radar
+            if r.get("upsample", False):
+                shape = (int(r.tgt_r_dim), int(r.tgt_a_dim), int(r.tgt_e_dim))
+            else:
+                shape = (int(r.input_r_dim), int(r.input_a_dim), int(r.input_e_dim))
+            ch = int(r.get("input_ch", 3))
+        else:
+            shape = tuple(int(d) for d in self.model.enc_radar_dims)
+            ch = int(mc.get("enc_radar_ch", 16))
+        return jnp.zeros((1, *shape, ch), jnp.float32)
+
+    def init_vae_params(self, rng=None):
+        rng = jax.random.PRNGKey(self.seed + 1) if rng is None else rng
+        pc = jnp.zeros((1, self.num_samples, 3), jnp.float32)
+        queries = jnp.zeros((1, 64, 3), jnp.float32)
+        return self.vae.init({"params": rng, "latent": jax.random.fold_in(rng, 1)}, pc, queries)[
+            "params"
+        ]
+
+    def init_radar_enc_params(self, rng=None):
+        assert self.radar_enc is not None
+        rng = jax.random.PRNGKey(self.seed + 2) if rng is None else rng
+        return self.radar_enc.init(rng, self._dummy_raw_cube())["params"]
+
+    def _dummy_raw_cube(self):
+        r = self.cfg.dataset.radar
+        if r.get("upsample", False):
+            shape = (int(r.tgt_r_dim), int(r.tgt_a_dim), int(r.tgt_e_dim))
+        else:
+            shape = (int(r.input_r_dim), int(r.input_a_dim), int(r.input_e_dim))
+        return jnp.zeros((1, *shape, 1), jnp.float32)
+
+    def param_count(self, state: TrainState) -> int:
+        return sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(state.params))
+
+    # ----------------------------------------------------------------- pieces
+    def _vae_encode_impl(self, vae_params, pc, rng):
+        _, z = self.vae.apply(
+            {"params": vae_params}, pc, rng=rng, sample_posterior=True, method="encode"
+        )
+        return z.astype(jnp.float32) / self.latent_std
+
+    def _radar_encode_impl(self, enc_params, cube):
+        # frozen external encoder on the intensity channel (engine_generation.py:85-87)
+        z = self.radar_enc.apply({"params": enc_params}, cube[..., :1], method="encode")
+        return z
+
+    def _train_step_impl(self, state: TrainState, latents, radar_cube, rng):
+        def loss_fn(params):
+            def denoise(x, sigma):
+                return self.model.apply(
+                    {"params": params}, x, sigma, radar_cube, deterministic=False
+                )
+
+            return edm_loss(denoise, rng, latents)
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        metrics = {"loss": loss, "grad_norm": optax.global_norm(grads)}
+        state = state.apply_gradients(grads, self.ema_rate)
+        return state, metrics
+
+    def _sample_impl(self, params, radar_cube, seeds):
+        """model.sample (reference :435-449): prior draw + Heun scan.
+
+        Condition tokens are processed ONCE here, then reused for all NFEs.
+        """
+        cond = None
+        if radar_cube is not None:
+            cond = self.model.apply({"params": params}, radar_cube, method="process_radar_cond")
+        latents = sample_prior_latents(seeds, self.model.n_latents, self.model.channels)
+
+        def denoise(x, sigma):
+            return self.model.apply({"params": params}, x, sigma, cond, method="denoise")
+
+        return edm_sampler(denoise, latents)
+
+    def _decode_impl(self, vae_params, tokens, queries):
+        out = self.vae.apply({"params": vae_params}, tokens, queries, method="decode")
+        return jnp.squeeze(out, -1)
+
+    def sample_tokens(self, params, radar_cube, seeds):
+        return self._sample(params, radar_cube, seeds)
+
+    # ------------------------------------------------------------ epoch loops
+    def train_one_epoch(
+        self,
+        state: TrainState,
+        loader,
+        epoch: int,
+        vae_params=None,
+        radar_enc_params=None,
+        log_writer=None,
+        print_fn=print,
+    ):
+        logger = MetricLogger(print_fn=print_fn)
+        header = f"Epoch: [{epoch}]"
+        base_rng = jax.random.fold_in(jax.random.PRNGKey(self.seed), epoch)
+        steps = len(loader)
+        for it, batch in enumerate(logger.log_every(iter(loader), 20, header)):
+            step_rng = jax.random.fold_in(base_rng, it)
+            latents, radar_cube = self._prepare_inputs(
+                batch, vae_params, radar_enc_params, jax.random.fold_in(step_rng, 99)
+            )
+            state, metrics = self._train_step(state, latents, radar_cube, step_rng)
+            host = {k: float(v) for k, v in metrics.items()}
+            if not math.isfinite(host["loss"]):
+                print_fn(f"Loss is {host['loss']}, stopping training")
+                sys.exit(1)
+            lr = float(self.lr_schedule(epoch * steps + it))
+            logger.update(lr=lr, **host)
+            if log_writer is not None:
+                from rald_tpu.train.metrics import epoch_1000x
+
+                x = epoch_1000x(it / max(steps, 1) + epoch)
+                log_writer.add_scalar("loss", host["loss"], x)
+                log_writer.add_scalar("lr", lr, x)
+                log_writer.add_scalar("norm", host["grad_norm"], x)
+        logger.synchronize_between_processes()
+        print_fn(f"Averaged stats: {logger}")
+        return state, logger.averages()
+
+    def _prepare_inputs(self, batch, vae_params, radar_enc_params, rng):
+        if self.use_cache_latent:
+            latents = jax.device_put(np.asarray(batch["cache_latent"], np.float32))
+        else:
+            assert vae_params is not None, "frozen VAE params required without latent cache"
+            latents = self._vae_encode(vae_params, jax.device_put(batch["lidar_points"]), rng)
+        radar_cube = None
+        if self.use_radar_cond:
+            radar_cube = jax.device_put(batch["radar_cube"])
+            if self.frozen_radar_enc:
+                assert radar_enc_params is not None, "frozen radar encoder params required"
+                radar_cube = self._radar_encode(radar_enc_params, radar_cube)
+        latents, radar_cube = shard_batch((latents, radar_cube), self.mesh)
+        return latents, radar_cube
+
+    def evaluate(
+        self,
+        state_or_params,
+        loader,
+        vae_params,
+        radar_enc_params=None,
+        use_ema: bool = False,
+        print_fn=print,
+    ):
+        """Reference engine_generation.evaluate (:138-355)."""
+        cfg = self.cfg
+        if isinstance(state_or_params, TrainState):
+            params = state_or_params.ema_params if use_ema else state_or_params.params
+        else:
+            params = state_or_params
+        print_fn(f"Using {'EMA' if use_ema else 'model'} parameters for evaluation")
+        ev = cfg.get("eval", {})
+        inference = ev.get("inference", {})
+        eval_freq = int(ev.get("freq", 1) or 1)
+        iou_test_only = bool(ev.get("iou_test_only", False))
+        test_sample_speed = bool(ev.get("test_sample_speed", False))
+        skip_metric = bool(ev.get("skip_eval_metric", False))
+        use_pred_latent = bool(ev.get("use_pred_latent", False))
+        store_latent = bool(ev.get("store_latent", False))
+        store_pc = bool(ev.get("store_pc", False))
+        num_query = int(inference.get("num_query_points", 500000))
+        use_helper = bool(inference.get("query_helper", False))
+        refine_query = bool(inference.get("refine_query", False))
+
+        lidar = cfg.dataset.lidar
+        aniso, iso = lidar.norm_anisotropy, lidar.norm_isotropy
+        rng_np = np.random.default_rng(self.seed)
+        logger = MetricLogger(print_fn=print_fn)
+
+        for it, batch in enumerate(logger.log_every(iter(loader), 20, "Test:")):
+            if it % eval_freq != 0:
+                continue
+            surface = np.asarray(batch["lidar_points"])
+            bsz = surface.shape[0]
+            radar_cube = None
+            if self.use_radar_cond:
+                radar_cube = jax.device_put(batch["radar_cube"])
+                if self.frozen_radar_enc:
+                    radar_cube = self._radar_encode(radar_enc_params, radar_cube)
+
+            if use_pred_latent:
+                tokens = jnp.squeeze(jax.device_put(batch["pred_latent"]), 1)
+            else:
+                seeds = jnp.arange(it * bsz, it * bsz + bsz)
+                tokens = self._sample(params, radar_cube, seeds)
+
+            if store_latent and "lidar_path" in batch:
+                base = Path(ev.store_base_dir) / ev.exp_name
+                for i in range(bsz):
+                    seq = Path(batch["lidar_path"][i]).parent.parent.name
+                    d = base / seq / "latent_tokens"
+                    d.mkdir(parents=True, exist_ok=True)
+                    np.save(d / (Path(batch["radar_path"][i]).stem + ".npy"), np.asarray(tokens[i]))
+
+            if test_sample_speed:
+                jax.block_until_ready(tokens)
+                logger.update(loss=-1.0, iou=-1.0)
+                continue
+
+            # loss/IoU on the eval query set (or the surface for iou_test_only)
+            queries = jax.device_put(surface if iou_test_only else batch["query_points"])
+            logits = self._decode(vae_params, tokens, queries)
+            labels = jax.device_put(batch["query_labels"]).astype(jnp.float32)
+            if not iou_test_only:
+                logger.update(loss=float(bce_with_logits(logits, labels)))
+                m = occupancy_metrics(logits, labels)
+                logger.update(iou=float(m["iou"]), accuracy=float(m["accuracy"]))
+
+            if iou_test_only:
+                continue
+
+            # uniform grid (+ helper points) -> thresholded point cloud -> CD
+            grid = generate_query_points(num_query, lidar.pc_range, aniso, iso, rng_np)
+            grid_b = np.broadcast_to(grid, (bsz, num_query, 3)).copy()
+            if use_helper and "helper_points" in batch:
+                helper = np.asarray(batch["helper_points"], np.float32)
+                grid_b = np.concatenate([grid_b, helper], axis=1)
+            logits = np.asarray(
+                self._decode(vae_params, tokens, jax.device_put(grid_b))
+            )
+            cds = []
+            for i in range(bsz):
+                pos = grid_b[i][logits[i] > 0]
+                pred = geo.inverse_norm_points(pos, lidar.pc_range, aniso, iso)
+                gt = geo.inverse_norm_points(surface[i], lidar.pc_range, aniso, iso)
+
+                if refine_query and len(pred):
+                    refined = aug_query_helper(
+                        pred,
+                        int(float(inference.refine_query_aug_num)),
+                        lidar.pc_range,
+                        lidar.voxel_size,
+                        int(inference.refine_query_scale),
+                        rng_np,
+                    )
+                    refined_n = geo.norm_points(refined, lidar.pc_range, aniso, iso).astype(
+                        np.float32
+                    )
+                    r_logits = np.asarray(
+                        self._decode(vae_params, tokens[i : i + 1], jax.device_put(refined_n[None]))
+                    )[0]
+                    pred = geo.inverse_norm_points(
+                        refined_n[r_logits > 0], lidar.pc_range, aniso, iso
+                    )
+
+                if lidar.get("view_cone_mode", False):
+                    pred = geo.polar2cartesian(pred) if len(pred) else pred.reshape(0, 3)
+                    gt = geo.polar2cartesian(gt)
+                cd = -1.0 if skip_metric else chamfer_distance(pred, gt)
+                cds.append(cd)
+
+                if store_pc and "radar_path" in batch:
+                    seq = Path(batch["radar_path"][i]).parent.parent.parent.name
+                    d = Path(ev.store_base_dir) / ev.exp_name / seq / ev.get(
+                        "save_pc_dir_name", "pred_pc"
+                    )
+                    write_ply(d / (Path(batch["radar_path"][i]).stem + ".ply"), pred)
+            logger.update(cd=float(np.mean(cds)))
+
+        logger.synchronize_between_processes()
+        stats = logger.averages()
+        print_fn(
+            "* iou {iou:.3f} loss {loss:.3f} cd {cd:.3f}".format(
+                iou=stats.get("iou", -1.0), loss=stats.get("loss", -1.0), cd=stats.get("cd", -1.0)
+            )
+        )
+        return stats
+
+    # ------------------------------------------------------------ latent cache
+    def cache_latents(self, vae_params, loader, cache_base_path, print_fn=print):
+        """Reference cache_latents (engine_generation.py:357-413)."""
+        cache_base_path = Path(cache_base_path)
+        logger = MetricLogger(print_fn=print_fn)
+        rng = jax.random.PRNGKey(self.seed + 3)
+        for it, batch in enumerate(logger.log_every(iter(loader), 50, "Caching: ")):
+            pcs = jax.device_put(batch["lidar_points"])
+            z = self._vae_encode(vae_params, pcs, jax.random.fold_in(rng, it))
+            logits = self._decode(vae_params, z, jax.device_put(batch["query_points"]))
+            labels = jax.device_put(batch["query_labels"]).astype(jnp.float32)
+            m = occupancy_metrics(logits, labels)
+            logger.update(iou=float(m["iou"]))
+            z_np = np.asarray(z)
+            for i, lidar_path in enumerate(batch["lidar_path"]):
+                p = Path(lidar_path)
+                seq_name, frame_name = p.parts[-3], p.parts[-1]
+                d = cache_base_path / seq_name
+                d.mkdir(parents=True, exist_ok=True)
+                np.savez(d / (frame_name + ".npz"), res_tokens=z_np[i])
+        return logger.averages()

@@ -1,0 +1,157 @@
+"""Stage-2 end-to-end tests on the synthetic dataset: diffusion training,
+full inference harness (sample -> decode -> threshold -> helper/refine ->
+chamfer -> PLY dump), and the latent-cache tool."""
+import json
+
+import numpy as np
+import pytest
+
+from rald_tpu.config import Config
+
+
+def _gen_cfg(root, mode="train"):
+    from rald_tpu.data.synthetic import synthetic_dataset_config
+
+    ds = synthetic_dataset_config(root)
+    ds.lidar.num_samples = 512
+    ds.batch_size = 1
+    ds.num_workers = 2
+    ds.eval_batch_size = 1
+    # small raw cube, no upsample: encoder sees (32,16,16) -> (2,1,1)
+    ds.radar.input_r_dim = 32
+    ds.radar.input_a_dim = 16
+    ds.radar.input_e_dim = 16
+    ds.radar.upsample = False
+    ds.use_query_helper = True
+    ds.query_aug_num = 256
+    ds.query_aug_scale = 2
+    return Config(
+        {
+            "system": {"seed": 0, "mode": mode, "output_dir": str(root / f"gen_{mode}"),
+                       "log_dir": None, "compute_dtype": "float32"},
+            "dataset": ds,
+            "train": {
+                "epochs": 2, "warmup_epochs": 0, "blr": 1e-3, "lr": 1e-3,
+                "min_lr": 1e-6, "clip_grad": 10, "accum_iter": 1,
+                "save_ckpt_freq": 2, "eval_freq": 0, "use_ema": True,
+                "use_cache_latent": False,
+            },
+            "ar_model": {
+                "name": "kl_d512_m512_l32_d24_edm",
+                "configs": {
+                    "cond_type": "radar",
+                    "use_radar_cond": True,
+                    "use_radar_enc": True,
+                    "unfreeze_radar_enc": True,
+                    "radar_token_channel": 32,
+                    "enc_radar_r_dim": 2, "enc_radar_a_dim": 1, "enc_radar_e_dim": 1,
+                    "enc_radar_ch": 4, "enc_hidden_ch": 8,
+                },
+                "overrides": {
+                    "n_latents": 16, "channels": 8, "depth": 2,
+                    "n_heads": 2, "d_head": 16,
+                },
+            },
+            "lidar_ae": {
+                "name": "kl_d512_m512_l32_mix",
+                "ckpt": None,
+                "latent_std": 1,
+                "overrides": {
+                    "dim": 64, "queries_dim": 64, "depth": 2, "num_latents": 16,
+                    "latent_dim": 8, "heads": 4, "dim_head": 16,
+                },
+                "cache_path": str(root / "latent_cache"),
+                "cache_name": "test_cache",
+            },
+            "radar_enc": {"name": "ae_ch64_mult5_n2_d16", "ckpt": None},
+            "eval": {
+                "freq": 1,
+                "inference": {
+                    "num_query_points": 1024,
+                    "query_helper": True,
+                    "refine_query": True,
+                    "refine_query_aug_num": 512,
+                    "refine_query_scale": 2,
+                },
+                "store_pc": True,
+                "store_base_dir": str(root / "dumps"),
+                "exp_name": "test_exp",
+                "save_pc_dir_name": "pred_pc",
+            },
+        }
+    )
+
+
+@pytest.fixture(scope="module")
+def synth_root(tmp_path_factory):
+    from rald_tpu.data.synthetic import make_synthetic_coloradar
+
+    root = tmp_path_factory.mktemp("synth_gen")
+    make_synthetic_coloradar(
+        root, num_train_seqs=2, num_eval_seqs=1, frames_per_seq=4,
+        points_per_frame=4000, radar_shape=(32, 16, 16),
+    )
+    return root
+
+
+class TestGenerationTraining:
+    def test_train_and_checkpoint(self, synth_root):
+        from rald_tpu.cli.main_generation import run
+
+        cfg = _gen_cfg(synth_root, "train")
+        run(cfg)
+        out = synth_root / "gen_train"
+        assert (out / "checkpoint-1").exists()
+        records = [json.loads(l) for l in open(out / "log.txt")]
+        losses = [r["train_loss"] for r in records]
+        assert len(losses) == 2 and all(np.isfinite(losses))
+
+    def test_eval_harness(self, synth_root):
+        from rald_tpu.cli.main_generation import run
+
+        cfg = _gen_cfg(synth_root, "eval")
+        cfg.eval.ckpt = str(synth_root / "gen_train" / "checkpoint-1")
+        stats = run(cfg)
+        assert np.isfinite(stats["loss"])
+        assert 0.0 <= stats["iou"] <= 1.0
+        assert np.isfinite(stats["cd"]) or stats["cd"] == float("inf")
+        # PLY dumps written for the test split
+        dumps = list((synth_root / "dumps" / "test_exp").rglob("*.ply"))
+        assert dumps, "store_pc produced no .ply files"
+        from rald_tpu.eval.ply import read_ply
+
+        pts = read_ply(dumps[0])
+        assert pts.ndim == 2 and pts.shape[1] == 3
+
+    def test_sample_speed_mode(self, synth_root):
+        from rald_tpu.cli.main_generation import run
+
+        cfg = _gen_cfg(synth_root, "eval")
+        cfg.eval.test_sample_speed = True
+        cfg.eval.store_pc = False
+        stats = run(cfg)
+        assert stats["loss"] == -1.0  # metrics skipped
+
+
+class TestLatentCache:
+    def test_cache_then_train_from_cache(self, synth_root):
+        from rald_tpu.cli.main_cache import run as run_cache
+        from rald_tpu.cli.main_generation import run as run_gen
+
+        cfg = _gen_cfg(synth_root, "train")
+        cache_path = run_cache(cfg)
+        npz = list(cache_path.rglob("*.npz"))
+        assert len(npz) == 8  # 2 train seqs x 4 frames
+        z = np.load(npz[0])["res_tokens"]
+        assert z.shape == (16, 8)
+
+        # retrain consuming the cache (engine_generation.py:74-83 cache path)
+        cfg2 = _gen_cfg(synth_root, "train")
+        cfg2.system.output_dir = str(synth_root / "gen_cachetrain")
+        cfg2.train.use_cache_latent = True
+        cfg2.dataset.use_cache_latent = True
+        cfg2.dataset.cache_latent_base_dir = str(cfg.lidar_ae.cache_path)
+        cfg2.dataset.cache_latent_sub_dir = f"{cfg.lidar_ae.name}/{cfg.lidar_ae.cache_name}"
+        run_gen(cfg2)
+        records = [json.loads(l) for l in open(synth_root / "gen_cachetrain" / "log.txt")]
+        assert all(np.isfinite(r["train_loss"]) for r in records)
