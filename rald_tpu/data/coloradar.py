@@ -242,7 +242,10 @@ class ColoRadarDataset:
         coords_zyx = np.asarray(coords_zyx)
 
         if self.sampling:
-            pick = rng.choice(points.shape[0], self.num_samples, replace=False)
+            # replace=True only when the frame is short of points — the
+            # reference crashes there (Coloradar_dataset.py:91-97)
+            n = points.shape[0]
+            pick = rng.choice(n, self.num_samples, replace=n < self.num_samples)
             points = points[pick]
 
         points_num = points.shape[0]
