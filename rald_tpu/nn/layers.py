@@ -144,7 +144,8 @@ class GEGLUFeedForward(nn.Module):
         inner = dim * self.mult
         h = nn.Dense(inner * 2, dtype=self.dtype, name="proj_in")(x)
         h, gates = jnp.split(h, 2, axis=-1)
-        h = h * jax.nn.gelu(gates)
+        # exact (erf) gelu: torch F.gelu default — checkpoint parity matters
+        h = h * jax.nn.gelu(gates, approximate=False)
         h = nn.Dense(out_dim, dtype=self.dtype, name="proj_out")(h)
         return DropPath(self.drop_path_rate, name="drop_path")(h, deterministic)
 
