@@ -25,7 +25,8 @@ from pathlib import Path
 import numpy as np
 
 from rald_tpu import geometry as geo
-from rald_tpu.data.voxelizer import voxelize, grid_size_of
+from rald_tpu.data.voxelizer import grid_size_of
+from rald_tpu.native import voxelize  # C++ when built, numpy fallback
 from rald_tpu.data.query import (
     sample_train_queries,
     sample_eval_queries,

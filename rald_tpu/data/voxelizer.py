@@ -85,7 +85,8 @@ def voxelize(
 
     voxels = np.zeros((n_vox, max_points_per_voxel, points.shape[1]), dtype=np.float32)
     voxels[vox_rank[keep], ord_in_vox[keep]] = pts[keep]
-    num_points = np.minimum(counts[appearance][:n_vox], max_points_per_voxel).astype(np.int32)
+    # counts is already indexed by appearance rank (bincount of sorted_rank)
+    num_points = np.minimum(counts[:n_vox], max_points_per_voxel).astype(np.int32)
 
     first_idx = idx[first_pos[appearance[:n_vox]]]
     coords = first_idx[:, ::-1].astype(np.int32)  # (z, y, x)

@@ -1,0 +1,85 @@
+"""Native C++ host ops vs their Python/JAX reference implementations."""
+import numpy as np
+import pytest
+
+from rald_tpu import native
+
+
+@pytest.fixture(scope="module", autouse=True)
+def built():
+    if not native.build():
+        pytest.skip("g++ unavailable — native library not built")
+    assert native.available()
+
+
+class TestNativeVoxelize:
+    def test_matches_numpy_voxelizer(self):
+        from rald_tpu.data.voxelizer import voxelize as np_voxelize
+
+        rng = np.random.default_rng(0)
+        pts = rng.uniform([-1, -16, -6], [16, 16, 6], size=(20000, 3)).astype(np.float32)
+        args = ([0.5, 0.5, 0.5], [0, -15, -5, 15, 15, 5], 10, 5000)
+        a = native.voxelize(pts, *args)
+        b = np_voxelize(pts, *args)
+        assert a.voxels.shape == b.voxels.shape
+        np.testing.assert_array_equal(a.coords, b.coords)
+        np.testing.assert_array_equal(a.num_points, b.num_points)
+        np.testing.assert_allclose(a.voxels, b.voxels)
+
+    def test_caps_respected(self):
+        pts = np.zeros((100, 3), np.float32) + 0.25  # all in one voxel
+        g = native.voxelize(pts, [0.5, 0.5, 0.5], [0, 0, 0, 1, 1, 1], 10, 50)
+        assert len(g.coords) == 1
+        assert g.num_points[0] == 10
+
+    def test_max_voxels_drop_order(self):
+        # 5 distinct voxels in scan order, cap at 3 -> first 3 kept
+        pts = np.array([[i + 0.5, 0.5, 0.5] for i in range(5)], np.float32)
+        g = native.voxelize(pts, [1, 1, 1], [0, 0, 0, 5, 1, 1], 4, 3)
+        assert len(g.coords) == 3
+        np.testing.assert_array_equal(g.coords[:, 2], [0, 1, 2])
+
+
+class TestNativeKNNChamfer:
+    def test_nn_dists_matches_scipy(self):
+        from scipy.spatial import cKDTree
+
+        rng = np.random.default_rng(1)
+        a = rng.normal(size=(500, 3)).astype(np.float32)
+        b = rng.normal(size=(700, 3)).astype(np.float32)
+        got = native.nn_dists(a, b)
+        want, _ = cKDTree(b).query(a)
+        np.testing.assert_allclose(got, want.astype(np.float32), rtol=1e-6)
+
+    def test_chamfer_matches_reference_formula(self):
+        from scipy.spatial import cKDTree
+
+        rng = np.random.default_rng(2)
+        a = rng.normal(size=(300, 3)).astype(np.float32)
+        b = rng.normal(size=(400, 3)).astype(np.float32)
+        d_ab, _ = cKDTree(b).query(a)
+        d_ba, _ = cKDTree(a).query(b)
+        want = 0.5 * d_ab.mean() + 0.5 * d_ba.mean()
+        assert native.chamfer(a, b) == pytest.approx(want, rel=1e-6)
+
+    def test_chamfer_matches_device_kernel(self):
+        from rald_tpu.eval.chamfer import chamfer_distance
+
+        rng = np.random.default_rng(3)
+        a = rng.normal(size=(200, 3)).astype(np.float32)
+        b = rng.normal(size=(350, 3)).astype(np.float32)
+        assert native.chamfer(a, b) == pytest.approx(chamfer_distance(a, b), rel=1e-4)
+
+    def test_empty_pred_is_inf(self):
+        assert native.chamfer(np.zeros((0, 3)), np.ones((5, 3))) == float("inf")
+
+
+class TestNativeFPS:
+    def test_matches_jax_fps(self):
+        from rald_tpu.ops.fps import farthest_point_sampling
+
+        rng = np.random.default_rng(4)
+        pts = rng.normal(size=(256, 3)).astype(np.float32)
+        got = native.fps(pts, 32)
+        want = np.asarray(farthest_point_sampling(pts, 32))
+        np.testing.assert_array_equal(got, want)
