@@ -107,6 +107,13 @@ class ColoRadarDataset:
     def _radar_dir_name(self) -> str:
         return self.RADAR_DIR[self.radar_type]
 
+    def _build_radar_list(self):
+        self.radar_path_list = []
+        for seq in self.seq_list:
+            self.radar_path_list.extend(
+                self._glob_sorted(self.root_dir / seq / self._radar_dir_name(), "*.bin")
+            )
+
     def load_split(self):
         """Serialize per-sequence file lists (reference: Coloradar_dataset.py:140-226)."""
         split_file = self.root_dir / self.config.split_file
@@ -142,11 +149,7 @@ class ColoRadarDataset:
             assert len(self.lidar_voxel_path_list) == len(self.lidar_path_list)
 
         if self.load_radar:
-            self.radar_path_list = []
-            for seq in self.seq_list:
-                self.radar_path_list.extend(
-                    self._glob_sorted(self.root_dir / seq / radar_dir_name, "*.bin")
-                )
+            self._build_radar_list()
             assert len(self.radar_path_list) == len(self.lidar_path_list)
 
         if self.use_cache_latent:

@@ -15,17 +15,14 @@ from rald_tpu.data.coloradar import ColoRadarDataset
 class HUSTRadarDataset(ColoRadarDataset):
     RADAR_DIR = {"scRadar": "rae_map", "ccRadar": "rae_map"}
 
-    def load_split(self):
-        # Identical indexing, with numeric sort on radar stems
+    def _build_radar_list(self):
+        # rae_map/*.npy with numeric sort on stems
         # (reference: hustRadar_dataset.py:106-114).
-        super().load_split()
-        if self.load_radar:
-            self.radar_path_list = []
-            for seq in self.seq_list:
-                files = list((self.root_dir / seq / "rae_map").glob("*.npy"))
-                files.sort(key=lambda x: int(x.stem))
-                self.radar_path_list.extend(files)
-            assert len(self.radar_path_list) == len(self.lidar_path_list)
+        self.radar_path_list = []
+        for seq in self.seq_list:
+            files = list((self.root_dir / seq / "rae_map").glob("*.npy"))
+            files.sort(key=lambda x: int(x.stem))
+            self.radar_path_list.extend(files)
 
     def load_radarcube(self, idx):
         path = self.radar_path_list[idx]

@@ -179,3 +179,50 @@ def test_dataloader_batches(synth_root):
     assert b["query_labels"].shape == (2, 10000)
     assert b["radar_cube"].shape == (2, 128, 64, 32, 2)
     assert isinstance(b["lidar_path"], list) and len(b["lidar_path"]) == 2
+
+
+class TestHUSTRadar:
+    def test_hust_layout_and_item(self, tmp_path):
+        """HUST tree: lidar_sc/*.bin + flat rae_map/<n>.npy (numeric sort)."""
+        import json
+
+        from rald_tpu.config import Config
+        from rald_tpu.data.registry import get_dataset
+        from rald_tpu import geometry as geo
+
+        rng = np.random.default_rng(0)
+        seq = "classroom_f404_20241219_0"
+        (tmp_path / seq / "lidar_sc").mkdir(parents=True)
+        (tmp_path / seq / "rae_map").mkdir()
+        n_frames = 12  # enough that numeric sort != lexical sort (2 < 10)
+        for i in range(n_frames):
+            pts = rng.uniform([1, -5, -2], [12, 5, 2], (3000, 3)).astype(np.float32)
+            pts.tofile(tmp_path / seq / "lidar_sc" / f"{i:04d}.bin")
+            cube = rng.normal(size=(32, 8, 2, 3)).astype(np.float32)
+            np.save(tmp_path / seq / "rae_map" / f"{i}.npy", cube)
+        (tmp_path / "split.json").write_text(json.dumps({"train": [seq], "val": [], "test": []}))
+
+        cfg = Config(
+            dataset_name="HUSTRadarDataset",
+            root_dir=str(tmp_path),
+            split_file="split.json",
+            lidar={
+                "pc_range": [0, -90, -20, 15.8, 90, 20], "num_point_features": 3,
+                "voxel_size": [0.05, 0.25, 0.5], "max_points_per_voxel": 10,
+                "max_number_of_voxels": 50000, "sampling": True, "num_samples": 256,
+                "query_ratio": 0.0625, "norm_isotropy": False, "norm_anisotropy": True,
+                "cache_voxel": False, "view_cone_mode": True,
+            },
+            radar={
+                "input_r_dim": 32, "input_a_dim": 8, "input_e_dim": 2, "input_ch": 3,
+                "upsample": False, "norm_intensity": True, "max_intensity": 45,
+                "norm_dopp": True, "max_dopp": 2.4958,
+            },
+        )
+        ds = get_dataset(cfg, "train")
+        assert len(ds) == n_frames
+        # numeric sort: frame index 10 must map to rae_map/10.npy, not 2.npy
+        assert ds.radar_path_list[10].stem == "10"
+        item = ds[0]
+        assert item["radar_cube"].shape == (32, 8, 2, 2)
+        assert item["lidar_points"].shape == (256, 3)
