@@ -78,6 +78,14 @@ def build():
     return fn, params, vae_params, num_queries
 
 
+def _sync(out):
+    """Force completion with a tiny readback (one bool per frame):
+    ``block_until_ready`` is unreliable on tunneled/experimental backends."""
+    import numpy as np
+
+    return np.asarray(out[:, 0])
+
+
 def bench_batch(fn, params, vae_params, num_queries, batch, iters=3):
     rng = jax.random.PRNGKey(1)
     cube = jax.random.normal(rng, (batch, 128, 64, 32, 3), jnp.float32)
@@ -85,22 +93,25 @@ def bench_batch(fn, params, vae_params, num_queries, batch, iters=3):
         jax.random.fold_in(rng, 1), (batch, num_queries, 3), jnp.float32, -1, 1
     )
     seeds = jnp.arange(batch)
-    jax.block_until_ready(fn(params, vae_params, cube, queries, seeds))  # compile + warmup
+    _sync(fn(params, vae_params, cube, queries, seeds))  # compile + warmup
     times = []
     for _ in range(iters):
         t0 = time.perf_counter()
-        jax.block_until_ready(fn(params, vae_params, cube, queries, seeds))
+        _sync(fn(params, vae_params, cube, queries, seeds))
         times.append(time.perf_counter() - t0)
     dt = min(times)
     return batch / dt, dt
 
 
 def main():
+    from rald_tpu.parallel.mesh import enable_compilation_cache
+
+    enable_compilation_cache()
     dev = jax.devices()[0]
     log(f"device: {dev}")
     fn, params, vae_params, num_queries = build()
     best = 0.0
-    for batch in (1, 8):
+    for batch in (1, 8, 32):
         try:
             pc_per_sec, dt = bench_batch(fn, params, vae_params, num_queries, batch)
             log(f"batch {batch}: {dt*1000:.1f} ms/batch -> {pc_per_sec:.2f} pc/s")

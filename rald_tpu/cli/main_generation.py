@@ -62,14 +62,21 @@ def load_frozen_modules(cfg, engine: GenerationEngine):
     """Frozen VAE (+ radar encoder) weights (reference :109-144).
 
     Checkpoints are orbax dirs produced by our trainers; ``lidar_ae.ckpt``
-    may point at a stage-1 ``checkpoint-N`` directory.
+    may point at a stage-1 ``checkpoint-N`` directory. Restored arrays are
+    re-placed replicated over the mesh — orbax commits them to one device,
+    which conflicts with mesh-replicated model params inside one jit.
     """
+    from rald_tpu.parallel.mesh import replicated
+
+    def replicate(tree):
+        return jax.device_put(tree, replicated(engine.mesh))
+
     vae_params = engine.init_vae_params()
     vae_ckpt = cfg.lidar_ae.get("ckpt")
     if vae_ckpt and Path(vae_ckpt).exists():
         from rald_tpu.train.checkpoint import CheckpointManager as CM
 
-        vae_params = CM(Path(vae_ckpt).parent).restore_params(vae_params, vae_ckpt)
+        vae_params = replicate(CM(Path(vae_ckpt).parent).restore_params(vae_params, vae_ckpt))
         print(f"Loaded frozen VAE from {vae_ckpt}")
     else:
         print("WARNING: lidar_ae.ckpt missing — using randomly initialized frozen VAE")
@@ -81,7 +88,9 @@ def load_frozen_modules(cfg, engine: GenerationEngine):
         if enc_ckpt and Path(enc_ckpt).exists():
             from rald_tpu.train.checkpoint import CheckpointManager as CM
 
-            radar_enc_params = CM(Path(enc_ckpt).parent).restore_params(radar_enc_params, enc_ckpt)
+            radar_enc_params = replicate(
+                CM(Path(enc_ckpt).parent).restore_params(radar_enc_params, enc_ckpt)
+            )
             print(f"Loaded frozen radar encoder from {enc_ckpt}")
         else:
             print("WARNING: radar_enc.ckpt missing — using randomly initialized encoder")

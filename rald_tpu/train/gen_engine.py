@@ -101,6 +101,10 @@ class GenerationEngine:
         self._decode = jax.jit(self._decode_impl)
         self._vae_encode = jax.jit(self._vae_encode_impl)
         self._radar_encode = jax.jit(self._radar_encode_impl)
+        # the whole eval chain in ONE dispatch: host->device call overhead is
+        # tens of ms per jit call on tunneled TPUs, and the reference path
+        # (sample, then decode eval queries, then decode the grid) costs 3+
+        self._sample_and_decode = jax.jit(self._sample_and_decode_impl)
 
     # ------------------------------------------------------------------ setup
     def init_state(self, steps_per_epoch: int, world_batch: int) -> TrainState:
@@ -206,6 +210,13 @@ class GenerationEngine:
         out = self.vae.apply({"params": vae_params}, tokens, queries, method="decode")
         return jnp.squeeze(out, -1)
 
+    def _sample_and_decode_impl(self, params, vae_params, radar_cube, seeds, q_eval, q_grid):
+        """sample -> decode(eval queries) -> decode(grid) fused into one jit."""
+        tokens = self._sample_impl(params, radar_cube, seeds)
+        logits_eval = self._decode_impl(vae_params, tokens, q_eval)
+        logits_grid = self._decode_impl(vae_params, tokens, q_grid)
+        return tokens, logits_eval, logits_grid
+
     def sample_tokens(self, params, radar_cube, seeds):
         return self._sample(params, radar_cube, seeds)
 
@@ -307,7 +318,23 @@ class GenerationEngine:
                 if self.frozen_radar_enc:
                     radar_cube = self._radar_encode(radar_enc_params, radar_cube)
 
-            if use_pred_latent:
+            fused = not (use_pred_latent or test_sample_speed or iou_test_only)
+            grid_logits = None
+            if fused:
+                # one dispatch per frame: sample + both decodes (per-call
+                # host->device overhead is tens of ms on tunneled TPUs)
+                grid = generate_query_points(num_query, lidar.pc_range, aniso, iso, rng_np)
+                grid_b = np.broadcast_to(grid, (bsz, num_query, 3)).copy()
+                if use_helper and "helper_points" in batch:
+                    helper = np.asarray(batch["helper_points"], np.float32)
+                    grid_b = np.concatenate([grid_b, helper], axis=1)
+                seeds = jnp.arange(it * bsz, it * bsz + bsz)
+                tokens, logits, grid_logits = self._sample_and_decode(
+                    params, vae_params, radar_cube, seeds,
+                    jax.device_put(batch["query_points"]), jax.device_put(grid_b),
+                )
+                grid_logits = np.asarray(grid_logits)
+            elif use_pred_latent:
                 tokens = jnp.squeeze(jax.device_put(batch["pred_latent"]), 1)
             else:
                 seeds = jnp.arange(it * bsz, it * bsz + bsz)
@@ -327,8 +354,9 @@ class GenerationEngine:
                 continue
 
             # loss/IoU on the eval query set (or the surface for iou_test_only)
-            queries = jax.device_put(surface if iou_test_only else batch["query_points"])
-            logits = self._decode(vae_params, tokens, queries)
+            if not fused:
+                queries = jax.device_put(surface if iou_test_only else batch["query_points"])
+                logits = self._decode(vae_params, tokens, queries)
             labels = jax.device_put(batch["query_labels"]).astype(jnp.float32)
             if not iou_test_only:
                 logger.update(loss=float(bce_with_logits(logits, labels)))
@@ -339,14 +367,15 @@ class GenerationEngine:
                 continue
 
             # uniform grid (+ helper points) -> thresholded point cloud -> CD
-            grid = generate_query_points(num_query, lidar.pc_range, aniso, iso, rng_np)
-            grid_b = np.broadcast_to(grid, (bsz, num_query, 3)).copy()
-            if use_helper and "helper_points" in batch:
-                helper = np.asarray(batch["helper_points"], np.float32)
-                grid_b = np.concatenate([grid_b, helper], axis=1)
-            logits = np.asarray(
-                self._decode(vae_params, tokens, jax.device_put(grid_b))
-            )
+            if grid_logits is not None:
+                logits = grid_logits
+            else:
+                grid = generate_query_points(num_query, lidar.pc_range, aniso, iso, rng_np)
+                grid_b = np.broadcast_to(grid, (bsz, num_query, 3)).copy()
+                if use_helper and "helper_points" in batch:
+                    helper = np.asarray(batch["helper_points"], np.float32)
+                    grid_b = np.concatenate([grid_b, helper], axis=1)
+                logits = np.asarray(self._decode(vae_params, tokens, jax.device_put(grid_b)))
             cds = []
             for i in range(bsz):
                 pos = grid_b[i][logits[i] > 0]

@@ -160,3 +160,45 @@ class TestEndToEndAE:
         cfg.train.save_ckpt_freq = 1
         run(cfg)  # resumes at epoch 3, trains one epoch
         assert (synth_root / "out_resume" / "checkpoint-3").exists()
+
+
+class TestLrDecay:
+    def test_scales_monotonic(self):
+        from rald_tpu.train.lr_decay import lr_decay_scales
+
+        params = {
+            "point_embed": {"mlp": {"kernel": jnp.ones((3, 4))}},
+            "block_0": {"attn": {"to_q": {"kernel": jnp.ones((4, 4))}}},
+            "block_3": {"ff": {"proj_in": {"kernel": jnp.ones((4, 4))}}},
+            "to_outputs": {"kernel": jnp.ones((4, 1))},
+        }
+        s = lr_decay_scales(params, depth=4, decay=0.5)
+        emb = float(s["point_embed"]["mlp"]["kernel"])
+        b0 = float(s["block_0"]["attn"]["to_q"]["kernel"])
+        b3 = float(s["block_3"]["ff"]["proj_in"]["kernel"])
+        head = float(s["to_outputs"]["kernel"])
+        assert emb < b0 < b3 < head == 1.0
+        assert emb == 0.5**5  # decay^(depth+1-0)
+
+    def test_transform_scales_updates(self):
+        import optax
+        from rald_tpu.train.lr_decay import scale_by_layer_decay
+
+        params = {"block_0": {"w": jnp.ones((2,))}, "head": {"w": jnp.ones((2,))}}
+        tx = scale_by_layer_decay(params, depth=1, decay=0.5)
+        updates = jax.tree_util.tree_map(jnp.ones_like, params)
+        out, _ = tx.update(updates, tx.init(params))
+        assert float(out["block_0"]["w"][0]) == 0.5  # decay^(2-1)
+        assert float(out["head"]["w"][0]) == 1.0
+
+
+class TestProfiler:
+    def test_maybe_trace_noop_and_active(self, tmp_path):
+        from rald_tpu.train.profiler import annotate, maybe_trace
+
+        with maybe_trace():  # no dir configured -> no-op
+            pass
+        with maybe_trace(profile_dir=str(tmp_path / "prof")):
+            with annotate("step"):
+                jnp.ones((8, 8)).sum().block_until_ready()
+        assert list((tmp_path / "prof").rglob("*"))  # trace artifacts written
