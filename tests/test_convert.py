@@ -493,3 +493,48 @@ class TestRadarEncoderParity:
         np.testing.assert_allclose(
             np.asarray(j_out), t_out.permute(0, 2, 3, 4, 1).numpy(), atol=3e-5
         )
+
+
+class TestConvertCLI:
+    def test_ae_roundtrip_through_eval_checkpoint(self, tmp_path):
+        """torch .pth -> convert_ckpt CLI -> main_ae eval-mode restore."""
+        torch.manual_seed(11)
+        tmodel = TorchVAE().eval()
+        pth = tmp_path / "ref.pth"
+        torch.save({"model": tmodel.state_dict()}, pth)
+
+        from rald_tpu.config import Config
+        from rald_tpu.cli.convert_ckpt import run as convert_run
+
+        cfg = Config(
+            system={"seed": 0, "compute_dtype": "float32"},
+            dataset={"lidar": {"num_samples": 64, "query_ratio": 0.0625}},
+            train={"epochs": 1, "warmup_epochs": 0, "blr": 1e-4, "lr": 1e-4,
+                   "min_lr": 1e-6, "clip_grad": 10},
+            lidar_ae={
+                "name": "kl_d512_m512_l32_mix",
+                "overrides": {"dim": DIM, "queries_dim": DIM, "depth": DEPTH,
+                               "num_latents": M, "latent_dim": LAT,
+                               "heads": HEADS, "dim_head": DH},
+            },
+        )
+        path = convert_run(cfg, "ae", str(pth), str(tmp_path / "out"), epoch=7)
+        assert path.name == "checkpoint-7"
+
+        # restore through the standard manager and check forward parity
+        from rald_tpu.train.ae_engine import AEEngine
+        from rald_tpu.train.checkpoint import CheckpointManager
+
+        engine = AEEngine(cfg)
+        state = engine.init_state(1, 1)
+        state, epoch = CheckpointManager(tmp_path / "out").restore(state, path)
+        assert epoch == 7
+        rng = np.random.default_rng(12)
+        z = rng.normal(size=(1, M, LAT)).astype(np.float32)
+        q = rng.normal(size=(1, 21, 3)).astype(np.float32)
+        with torch.no_grad():
+            t_out = tmodel.decode(torch.from_numpy(z), torch.from_numpy(q))
+        j_out = engine.model.apply(
+            {"params": state.params}, jnp.asarray(z), jnp.asarray(q), method="decode"
+        )
+        np.testing.assert_allclose(np.asarray(j_out), t_out.numpy(), atol=5e-5)
