@@ -89,6 +89,19 @@ class GenerationEngine:
             if enc_overrides:
                 self.radar_enc = self.radar_enc.copy(**enc_overrides)
 
+        # sampler hyperparameters (reference hardcodes them, :235-239)
+        inf = cfg.get("eval", {}).get("inference", {})
+        self.sampler_kwargs = dict(
+            num_steps=int(inf.get("num_steps", 18)),
+            sigma_min=float(inf.get("sigma_min", 0.002)),
+            sigma_max=float(inf.get("sigma_max", 80.0)),
+            rho=float(inf.get("rho", 7.0)),
+            s_churn=float(inf.get("s_churn", 0.0)),
+            s_min=float(inf.get("s_min", 0.0)),
+            s_max=float(inf.get("s_max", float("inf"))),
+            s_noise=float(inf.get("s_noise", 1.0)),
+        )
+
         t = cfg.train
         self.ema_rate = 0.999
         self.clip_grad = float(t.get("clip_grad", 0) or 0)
@@ -204,7 +217,12 @@ class GenerationEngine:
         def denoise(x, sigma):
             return self.model.apply({"params": params}, x, sigma, cond, method="denoise")
 
-        return edm_sampler(denoise, latents)
+        noise_keys = None
+        if self.sampler_kwargs.get("s_churn", 0) > 0:
+            from rald_tpu.diffusion.edm import per_sample_keys
+
+            noise_keys = per_sample_keys(seeds)
+        return edm_sampler(denoise, latents, noise_keys=noise_keys, **self.sampler_kwargs)
 
     def _decode_impl(self, vae_params, tokens, queries):
         out = self.vae.apply({"params": vae_params}, tokens, queries, method="decode")

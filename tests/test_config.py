@@ -1,0 +1,50 @@
+"""Config system tests (reference YAML->EasyDict surface + sweep semantics)."""
+import yaml
+
+from rald_tpu.config import Config, dump_config, expand_experiment_sweep, finalize_dirs, load_config
+
+
+class TestConfig:
+    def test_attribute_and_item_access(self):
+        cfg = Config({"train": {"lr": 1e-4, "nested": {"x": [1, 2]}}})
+        assert cfg.train.lr == cfg["train"]["lr"] == 1e-4
+        assert cfg.train.nested.x == [1, 2]
+        cfg.train.lr = 2e-4
+        assert cfg["train"]["lr"] == 2e-4
+        assert cfg.train.get("missing", 7) == 7
+
+    def test_load_dump_roundtrip(self, tmp_path):
+        src = tmp_path / "a.yml"
+        src.write_text(yaml.safe_dump({"system": {"seed": 3}, "dataset": {"batch_size": 4}}))
+        cfg = load_config(src)
+        assert cfg.system.seed == 3
+        dump_config(cfg, tmp_path / "out" / "snap.yml")
+        again = load_config(tmp_path / "out" / "snap.yml")
+        assert again.to_dict() == cfg.to_dict()
+
+    def test_finalize_dirs_joins_expname(self):
+        cfg = Config({"system": {"expname": "exp1", "output_dir": "/o", "log_dir": "/l"}})
+        finalize_dirs(cfg)
+        assert cfg.system.output_dir.endswith("/o/exp1")
+        assert cfg.system.log_dir.endswith("/l/exp1")
+
+    def test_scene_sweep_expansion(self):
+        """dict-valued split_file fans out per scene (reference main_ae.py:202-212)."""
+        cfg = Config(
+            {
+                "system": {"output_dir": "/o", "log_dir": "/l"},
+                "dataset": {"split_file": {"hall": "hall.json", "lab": "lab.json"}},
+            }
+        )
+        runs = list(expand_experiment_sweep(cfg))
+        assert [s for s, _ in runs] == ["hall", "lab"]
+        hall = runs[0][1]
+        assert hall.dataset.split_file == "hall.json"
+        assert hall.system.output_dir.endswith("/o/hall")
+        # original untouched
+        assert isinstance(cfg.dataset.split_file, dict)
+
+    def test_no_sweep_passthrough(self):
+        cfg = Config({"dataset": {"split_file": "one.json"}})
+        runs = list(expand_experiment_sweep(cfg))
+        assert runs[0][0] is None and runs[0][1] is cfg
