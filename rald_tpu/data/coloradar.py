@@ -278,13 +278,15 @@ class ColoRadarDataset:
         if self.load_radar:
             cube, radar_path = self.load_radarcube(index)
             r = self.config.radar
+            # with upsample_on_device the raw-size cube ships to the chip
+            # (32x less transfer) and the engine resizes in-graph
             data["radar_cube"] = process_radar_cube(
                 cube,
                 norm_intensity=r.norm_intensity,
                 max_intensity=r.max_intensity,
                 norm_dopp=r.norm_dopp,
                 max_dopp=r.max_dopp,
-                upsample=r.get("upsample", False),
+                upsample=r.get("upsample", False) and not r.get("upsample_on_device", False),
                 tgt_a=r.get("tgt_a_dim"),
                 tgt_e=r.get("tgt_e_dim"),
             )

@@ -80,6 +80,19 @@ class GenerationEngine:
             self.vae = self.vae.copy(**vae_overrides)
         self.latent_std = float(cfg.lidar_ae.get("latent_std", 1.0))
 
+        radar = cfg.dataset.get("radar", {})
+        # on-device bilinear upsample of the conditioning cube: ship the raw
+        # (R, A, E, C) cube (32x smaller) and resize inside the jitted step
+        # instead of in the host pipeline (reference upsamples on the CPU,
+        # Coloradar_dataset.py:455-470)
+        self.upsample_on_device = bool(radar.get("upsample", False)) and bool(
+            radar.get("upsample_on_device", False)
+        )
+        self._upsample_tgt = (
+            int(radar.get("tgt_a_dim", 0) or 0),
+            int(radar.get("tgt_e_dim", 0) or 0),
+        )
+
         self.radar_enc = None
         if self.frozen_radar_enc:
             self.radar_enc = get_radar_encoder_model(
@@ -179,6 +192,14 @@ class GenerationEngine:
         return sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(state.params))
 
     # ----------------------------------------------------------------- pieces
+    def _maybe_upsample(self, radar_cube):
+        if radar_cube is None or not self.upsample_on_device:
+            return radar_cube
+        from rald_tpu.dsp.cfar_points import resize_linear_align_corners
+
+        tgt_a, tgt_e = self._upsample_tgt
+        return resize_linear_align_corners(radar_cube, (tgt_a, tgt_e), axes=(2, 3))
+
     def _vae_encode_impl(self, vae_params, pc, rng):
         _, z = self.vae.apply(
             {"params": vae_params}, pc, rng=rng, sample_posterior=True, method="encode"
@@ -187,10 +208,14 @@ class GenerationEngine:
 
     def _radar_encode_impl(self, enc_params, cube):
         # frozen external encoder on the intensity channel (engine_generation.py:85-87)
+        cube = self._maybe_upsample(cube)
         z = self.radar_enc.apply({"params": enc_params}, cube[..., :1], method="encode")
         return z
 
     def _train_step_impl(self, state: TrainState, latents, radar_cube, rng):
+        if not self.frozen_radar_enc:
+            radar_cube = self._maybe_upsample(radar_cube)
+
         def loss_fn(params):
             def denoise(x, sigma):
                 return self.model.apply(
@@ -211,6 +236,8 @@ class GenerationEngine:
         """
         cond = None
         if radar_cube is not None:
+            if not self.frozen_radar_enc:
+                radar_cube = self._maybe_upsample(radar_cube)
             cond = self.model.apply({"params": params}, radar_cube, method="process_radar_cond")
         latents = sample_prior_latents(seeds, self.model.n_latents, self.model.channels)
 

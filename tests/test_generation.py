@@ -155,3 +155,39 @@ class TestLatentCache:
         run_gen(cfg2)
         records = [json.loads(l) for l in open(synth_root / "gen_cachetrain" / "log.txt")]
         assert all(np.isfinite(r["train_loss"]) for r in records)
+
+
+class TestOnDeviceUpsample:
+    def test_matches_host_upsample(self, synth_root):
+        """Engine's in-graph resize == host pipeline's upsample."""
+        import jax.numpy as jnp
+
+        from rald_tpu.data.radar_proc import process_radar_cube
+        from rald_tpu.train.gen_engine import GenerationEngine
+
+        cfg = _gen_cfg(synth_root, "train")
+        cfg.dataset.radar.upsample = True
+        cfg.dataset.radar.upsample_on_device = True
+        cfg.dataset.radar.tgt_a_dim = 32
+        cfg.dataset.radar.tgt_e_dim = 32
+        engine = GenerationEngine(cfg)
+        assert engine.upsample_on_device
+
+        rng = np.random.default_rng(0)
+        raw = rng.normal(size=(32, 16, 16, 3)).astype(np.float32)
+        host = process_radar_cube(raw, upsample=True, tgt_a=32, tgt_e=32)
+        raw_cube = process_radar_cube(raw, upsample=False)
+        dev = np.asarray(engine._maybe_upsample(jnp.asarray(raw_cube[None])))[0]
+        np.testing.assert_allclose(dev, host, atol=1e-5)
+
+    def test_dataset_ships_raw_dims(self, synth_root):
+        from rald_tpu.data.registry import get_dataset
+
+        cfg = _gen_cfg(synth_root, "train")
+        cfg.dataset.radar.upsample = True
+        cfg.dataset.radar.upsample_on_device = True
+        cfg.dataset.radar.tgt_a_dim = 32
+        cfg.dataset.radar.tgt_e_dim = 32
+        ds = get_dataset(cfg.dataset, "train")
+        item = ds[0]
+        assert item["radar_cube"].shape == (32, 16, 16, 2)  # raw dims
