@@ -115,6 +115,8 @@ class GenerationEngine:
             s_noise=float(inf.get("s_noise", 1.0)),
         )
 
+        self.shard_queries = bool(inf.get("shard_queries", False))
+
         t = cfg.train
         self.ema_rate = 0.999
         self.clip_grad = float(t.get("clip_grad", 0) or 0)
@@ -259,8 +261,28 @@ class GenerationEngine:
         """sample -> decode(eval queries) -> decode(grid) fused into one jit."""
         tokens = self._sample_impl(params, radar_cube, seeds)
         logits_eval = self._decode_impl(vae_params, tokens, q_eval)
-        logits_grid = self._decode_impl(vae_params, tokens, q_grid)
+        if self.shard_queries:
+            logits_grid = self._decode_query_sharded(vae_params, tokens, q_grid)
+        else:
+            logits_grid = self._decode_impl(vae_params, tokens, q_grid)
         return tokens, logits_eval, logits_grid
+
+    def _decode_query_sharded(self, vae_params, tokens, queries):
+        """Shard the query axis over the mesh's data axis (SURVEY §5.7:
+        queries attend independently to the tokens, so inference decode is
+        embarrassingly parallel over the mesh — our sequence parallelism).
+        Query count must be a multiple of the mesh size (caller pads)."""
+        from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        fn = shard_map(
+            self._decode_impl,
+            mesh=self.mesh,
+            in_specs=(P(), P(), P(None, "data", None)),
+            out_specs=P(None, "data"),
+            check_rep=False,
+        )
+        return fn(vae_params, tokens, queries)
 
     def sample_tokens(self, params, radar_cube, seeds):
         return self._sample(params, radar_cube, seeds)
@@ -373,12 +395,19 @@ class GenerationEngine:
                 if use_helper and "helper_points" in batch:
                     helper = np.asarray(batch["helper_points"], np.float32)
                     grid_b = np.concatenate([grid_b, helper], axis=1)
+                grid_true = grid_b.shape[1]
+                if self.shard_queries:
+                    n_dev = self.mesh.devices.size
+                    pad = (-grid_b.shape[1]) % n_dev
+                    if pad:  # duplicate-pad for even shards; trimmed below
+                        grid_b = np.concatenate([grid_b, grid_b[:, :pad]], axis=1)
                 seeds = jnp.arange(it * bsz, it * bsz + bsz)
                 tokens, logits, grid_logits = self._sample_and_decode(
                     params, vae_params, radar_cube, seeds,
                     jax.device_put(batch["query_points"]), jax.device_put(grid_b),
                 )
-                grid_logits = np.asarray(grid_logits)
+                grid_logits = np.asarray(grid_logits)[:, :grid_true]
+                grid_b = grid_b[:, :grid_true]
             elif use_pred_latent:
                 tokens = jnp.squeeze(jax.device_put(batch["pred_latent"]), 1)
             else:
