@@ -98,7 +98,7 @@ class LatentArrayTransformer(nn.Module):
             x = LatentDiTBlock(
                 n_heads=self.n_heads, d_head=self.d_head, dtype=self.dtype, name=f"block_{i}"
             )(x, t_emb, cond, deterministic)
-        x = nn.LayerNorm(dtype=self.dtype, name="norm")(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
         # zero-init output projection (reference zero_module, :198-201)
         return nn.Dense(
             out_ch, use_bias=False, kernel_init=nn.initializers.zeros, dtype=self.dtype, name="proj_out"

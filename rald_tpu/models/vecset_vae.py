@@ -52,7 +52,7 @@ class SelfAttnBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
-        h = nn.LayerNorm(dtype=self.dtype, name="attn_norm")(x)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="attn_norm")(x)
         x = x + Attention(
             heads=self.heads,
             dim_head=self.dim_head,
@@ -60,7 +60,7 @@ class SelfAttnBlock(nn.Module):
             dtype=self.dtype,
             name="attn",
         )(h, deterministic=deterministic)
-        h = nn.LayerNorm(dtype=self.dtype, name="ff_norm")(x)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ff_norm")(x)
         x = x + GEGLUFeedForward(
             drop_path_rate=self.drop_path_rate, dtype=self.dtype, name="ff"
         )(h, deterministic=deterministic)
@@ -86,10 +86,10 @@ class VecSetVAE(nn.Module):
         self.point_embed = PointEmbed(dim=self.dim, dtype=self.dtype)
 
         # encoder cross-attention (1 head, dim_head = dim; reference :308-311)
-        self.enc_norm_q = nn.LayerNorm(dtype=self.dtype)
-        self.enc_norm_ctx = nn.LayerNorm(dtype=self.dtype)
+        self.enc_norm_q = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)
+        self.enc_norm_ctx = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)
         self.enc_cross_attn = Attention(heads=1, dim_head=self.dim, dtype=self.dtype)
-        self.enc_ff_norm = nn.LayerNorm(dtype=self.dtype)
+        self.enc_ff_norm = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)
         self.enc_ff = GEGLUFeedForward(dtype=self.dtype)
 
         if self.query_type == "learnable":
@@ -104,7 +104,7 @@ class VecSetVAE(nn.Module):
                 "d_latents", nn.initializers.normal(1.0), (self.num_latents, self.dim)
             )
             # reference :330: a latent-attn instance (LN on query only, no residual)
-            self.mix_norm = nn.LayerNorm(dtype=self.dtype)
+            self.mix_norm = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)
             self.mix_attn = Attention(
                 heads=self.heads, dim_head=self.dim_head, drop_path_rate=0.1, dtype=self.dtype
             )
@@ -120,8 +120,8 @@ class VecSetVAE(nn.Module):
         ]
 
         # decoder cross-attention (1 head; LN on queries and context; :341)
-        self.dec_norm_q = nn.LayerNorm(dtype=self.dtype)
-        self.dec_norm_ctx = nn.LayerNorm(dtype=self.dtype)
+        self.dec_norm_q = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)
+        self.dec_norm_ctx = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)
         self.dec_cross_attn = Attention(
             heads=1, dim_head=self.queries_dim, out_dim=self.queries_dim, dtype=self.dtype
         )

@@ -160,7 +160,7 @@ class AdaLayerNorm(nn.Module):
         dim = x.shape[-1]
         emb = nn.Dense(2 * dim, dtype=self.dtype, name="mod")(t_emb)
         scale, shift = jnp.split(emb, 2, axis=-1)
-        x = nn.LayerNorm(use_bias=False, use_scale=False, dtype=self.dtype)(x)
+        x = nn.LayerNorm(epsilon=1e-5, use_bias=False, use_scale=False, dtype=self.dtype)(x)
         return x * (1 + scale) + shift
 
 

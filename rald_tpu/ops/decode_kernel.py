@@ -80,7 +80,7 @@ def _decode_tail_kernel(
     # layernorm (f32 statistics)
     mu = jnp.mean(e, axis=-1, keepdims=True)
     var = jnp.mean(jnp.square(e - mu), axis=-1, keepdims=True)
-    x = (e - mu) * jax.lax.rsqrt(var + 1e-6)
+    x = (e - mu) * jax.lax.rsqrt(var + 1e-5)
     x = x * ln_scale_ref[0].astype(f32) + ln_bias_ref[0].astype(f32)
 
     compute_dtype = w_q_ref.dtype
@@ -211,7 +211,7 @@ def decode_tail_kv(vae, vae_params, tokens: jax.Array):
     ln = p["dec_norm_ctx"]
     mu = jnp.mean(tokens.astype(jnp.float32), axis=-1, keepdims=True)
     var = jnp.var(tokens.astype(jnp.float32), axis=-1, keepdims=True)
-    ctx = (tokens.astype(jnp.float32) - mu) * jax.lax.rsqrt(var + 1e-6)
+    ctx = (tokens.astype(jnp.float32) - mu) * jax.lax.rsqrt(var + 1e-5)
     ctx = ctx * ln["scale"] + ln["bias"]
     kv = ctx.astype(tokens.dtype) @ p["dec_cross_attn"]["to_kv"]["kernel"]
     k, v = jnp.split(kv, 2, axis=-1)

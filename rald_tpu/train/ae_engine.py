@@ -71,6 +71,7 @@ class AEEngine:
         self.kl_weight = 1e-3  # engine_ae.py:48
         self.ema_rate = 0.999
         self.clip_grad = float(t.get("clip_grad", 0) or 0)
+        self.skip_nonfinite = bool(t.get("skip_nonfinite_updates", False))
         self.epochs = int(t.epochs)
         self.warmup_epochs = float(t.get("warmup_epochs", 0))
         self.min_lr = float(t.get("min_lr", 0.0))
@@ -95,7 +96,8 @@ class AEEngine:
             {"params": rng, "latent": jax.random.fold_in(rng, 1)}, pc, queries
         )
         state = create_train_state(
-            variables["params"], self.lr_schedule, clip_grad=self.clip_grad
+            variables["params"], self.lr_schedule, clip_grad=self.clip_grad,
+            skip_nonfinite=self.skip_nonfinite,
         )
         # commit the state replicated over the mesh: keeps jit shardings
         # unambiguous and makes checkpoints restore to the same placement
@@ -168,8 +170,11 @@ class AEEngine:
             state, metrics = self._train_step(state, device_batch, step_rng)
             host = {k: float(v) for k, v in metrics.items()}
             if not math.isfinite(host["loss"]):
-                print_fn(f"Loss is {host['loss']}, stopping training")
-                sys.exit(1)
+                if self.skip_nonfinite:
+                    print_fn(f"WARNING: non-finite loss {host['loss']} — update skipped")
+                else:
+                    print_fn(f"Loss is {host['loss']}, stopping training")
+                    sys.exit(1)
             lr = float(self.lr_schedule(epoch * steps + it))
             logger.update(lr=lr, **host)
             if log_writer is not None:

@@ -120,6 +120,7 @@ class GenerationEngine:
         t = cfg.train
         self.ema_rate = 0.999
         self.clip_grad = float(t.get("clip_grad", 0) or 0)
+        self.skip_nonfinite = bool(t.get("skip_nonfinite_updates", False))
         self.epochs = int(t.epochs)
         self.warmup_epochs = float(t.get("warmup_epochs", 0))
         self.min_lr = float(t.get("min_lr", 0.0))
@@ -148,7 +149,10 @@ class GenerationEngine:
         sigma = jnp.ones((1,))
         cube = self._dummy_cond()
         variables = self.model.init(rng, x, sigma, cube)
-        state = create_train_state(variables["params"], self.lr_schedule, clip_grad=self.clip_grad)
+        state = create_train_state(
+            variables["params"], self.lr_schedule, clip_grad=self.clip_grad,
+            skip_nonfinite=self.skip_nonfinite,
+        )
         from rald_tpu.parallel.mesh import replicated
 
         return jax.device_put(state, replicated(self.mesh))
@@ -310,8 +314,11 @@ class GenerationEngine:
             state, metrics = self._train_step(state, latents, radar_cube, step_rng)
             host = {k: float(v) for k, v in metrics.items()}
             if not math.isfinite(host["loss"]):
-                print_fn(f"Loss is {host['loss']}, stopping training")
-                sys.exit(1)
+                if self.skip_nonfinite:
+                    print_fn(f"WARNING: non-finite loss {host['loss']} — update skipped")
+                else:
+                    print_fn(f"Loss is {host['loss']}, stopping training")
+                    sys.exit(1)
             lr = float(self.lr_schedule(epoch * steps + it))
             logger.update(lr=lr, **host)
             if log_writer is not None:

@@ -46,15 +46,25 @@ def make_optimizer(
     learning_rate: Callable | float,
     clip_grad: Optional[float] = None,
     weight_decay: float = 0.01,
+    skip_nonfinite: bool = False,
 ) -> optax.GradientTransformation:
-    """Global-norm clip (reference misc.py:255-269) -> AdamW."""
+    """Global-norm clip (reference misc.py:255-269) -> AdamW.
+
+    ``skip_nonfinite`` wraps the chain in ``optax.apply_if_finite``: a
+    non-finite gradient skips the update instead of poisoning the params —
+    a fault-tolerance upgrade over the reference's process abort
+    (engine_ae.py:103-105).
+    """
     chain = []
     if clip_grad is not None and clip_grad > 0:
         chain.append(optax.clip_by_global_norm(float(clip_grad)))
     chain.append(
         optax.adamw(learning_rate, b1=0.9, b2=0.999, eps=1e-8, weight_decay=weight_decay)
     )
-    return optax.chain(*chain)
+    tx = optax.chain(*chain)
+    if skip_nonfinite:
+        tx = optax.apply_if_finite(tx, max_consecutive_errors=100)
+    return tx
 
 
 def create_train_state(
@@ -62,10 +72,11 @@ def create_train_state(
     learning_rate: Callable | float,
     clip_grad: Optional[float] = None,
     weight_decay: float = 0.01,
+    skip_nonfinite: bool = False,
 ) -> TrainState:
     import jax.numpy as jnp
 
-    tx = make_optimizer(learning_rate, clip_grad, weight_decay)
+    tx = make_optimizer(learning_rate, clip_grad, weight_decay, skip_nonfinite)
     return TrainState(
         step=jnp.zeros((), jnp.int32),
         params=params,

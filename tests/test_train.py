@@ -202,3 +202,17 @@ class TestProfiler:
             with annotate("step"):
                 jnp.ones((8, 8)).sum().block_until_ready()
         assert list((tmp_path / "prof").rglob("*"))  # trace artifacts written
+
+
+class TestNonFiniteGuard:
+    def test_skip_nonfinite_updates(self):
+        params = {"w": jnp.ones((4,))}
+        state = create_train_state(params, 0.1, clip_grad=1.0, skip_nonfinite=True)
+        bad = {"w": jnp.full((4,), jnp.nan)}
+        after_bad = state.apply_gradients(bad)
+        np.testing.assert_allclose(  # update skipped, params unchanged
+            np.asarray(after_bad.params["w"]), np.asarray(state.params["w"])
+        )
+        good = {"w": jnp.ones((4,))}
+        after_good = after_bad.apply_gradients(good)
+        assert float(after_good.params["w"][0]) < 1.0  # training continues
