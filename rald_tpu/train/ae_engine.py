@@ -79,6 +79,9 @@ class AEEngine:
         self._train_step = jax.jit(self._train_step_impl, donate_argnums=(0,))
         self._eval_step = jax.jit(self._eval_step_impl)
         self._forward_logits = jax.jit(self._forward_logits_impl)
+        # metrics + grid decode in ONE dispatch (per-call overhead is tens of
+        # ms on tunneled TPUs; see gen_engine._sample_and_decode)
+        self._eval_fused = jax.jit(self._eval_fused_impl)
 
     # ------------------------------------------------------------------ setup
     def init_state(self, steps_per_epoch: int, world_batch: int) -> TrainState:
@@ -147,6 +150,13 @@ class AEEngine:
         _, metrics = self._loss_and_metrics(params, batch, rng, deterministic=True)
         return metrics
 
+    def _eval_fused_impl(self, params, batch, grid, rng):
+        _, metrics = self._loss_and_metrics(params, batch, rng, deterministic=True)
+        grid_logits = self._forward_logits_impl(
+            params, batch["lidar_points"], grid, jax.random.fold_in(rng, 5)
+        )
+        return metrics, grid_logits
+
     def _forward_logits_impl(self, params, surface, queries, rng):
         out = self.model.apply(
             {"params": params}, surface, queries, rngs={"latent": rng}, deterministic=True
@@ -214,25 +224,22 @@ class AEEngine:
                 {k: batch[k] for k in ("lidar_points", "query_points", "query_labels")},
                 self.mesh,
             )
-            metrics = self._eval_step(params, device_batch, jax.random.fold_in(base_rng, it))
-            logger.update(**{k: float(v) for k, v in metrics.items()})
-
             if skip_cd:
+                metrics = self._eval_step(params, device_batch, jax.random.fold_in(base_rng, it))
+                logger.update(**{k: float(v) for k, v in metrics.items()})
                 continue
             surface = batch["lidar_points"]
             bsz = surface.shape[0]
             grid = generate_query_points(
                 num_query, lidar.pc_range, lidar.norm_anisotropy, lidar.norm_isotropy, rng
             )
-            grid_b = np.broadcast_to(grid, (bsz, num_query, 3))
-            logits = np.asarray(
-                self._forward_logits(
-                    params,
-                    jax.device_put(surface),
-                    jax.device_put(np.ascontiguousarray(grid_b)),
-                    jax.random.fold_in(base_rng, 1000 + it),
-                )
+            grid_b = np.ascontiguousarray(np.broadcast_to(grid, (bsz, num_query, 3)))
+            metrics, logits = self._eval_fused(
+                params, device_batch, shard_batch(grid_b, self.mesh),
+                jax.random.fold_in(base_rng, it),
             )
+            logger.update(**{k: float(v) for k, v in metrics.items()})
+            logits = np.asarray(logits)
             cds = []
             for i in range(bsz):
                 pos = grid[logits[i] > 0]
