@@ -71,13 +71,26 @@ def edm_sampler(
     s_max: float = float("inf"),
     s_noise: float = 1.0,
     noise_keys: Optional[jax.Array] = None,
+    denoise_indexed: Optional[Callable] = None,
 ) -> jax.Array:
     """Heun sampler from unit-normal ``latents`` (B, M, C) (reference :235-275).
 
     2-NFE Heun steps for i < num_steps-1, 1-NFE Euler for the final step:
     exactly the reference's 2*num_steps - 1 denoiser evaluations.
     ``noise_keys`` (B,) per-sample keys are only needed when s_churn > 0.
+
+    ``denoise_indexed(x, sigma, step_idx)``, when given, replaces
+    ``denoise_fn`` and also receives the schedule index of ``sigma`` —
+    letting the denoiser look up precomputed sigma-dependent state (AdaLN
+    modulation tables). Only valid without churn (churn perturbs sigma off
+    the schedule).
     """
+    if denoise_indexed is not None:
+        assert s_churn <= 0, "denoise_indexed requires s_churn == 0 (on-schedule sigmas)"
+        call = denoise_indexed
+    else:
+        call = lambda x, sigma, idx: denoise_fn(x, sigma)
+
     t_steps = karras_sigmas(num_steps, sigma_min, sigma_max, rho)
     x = latents.astype(jnp.float32) * t_steps[0]
 
@@ -96,10 +109,10 @@ def edm_sampler(
     def heun_step(x_cur, step):
         step_i, t_cur, t_next = step
         x_hat, t_hat = churn(x_cur, t_cur, step_i)
-        denoised = denoise_fn(x_hat, t_hat)
+        denoised = call(x_hat, t_hat, step_i)
         d_cur = (x_hat - denoised) / t_hat
         x_next = x_hat + (t_next - t_hat) * d_cur
-        denoised2 = denoise_fn(x_next, t_next)
+        denoised2 = call(x_next, t_next, step_i + 1)
         d_prime = (x_next - denoised2) / t_next
         x_next = x_hat + (t_next - t_hat) * (0.5 * d_cur + 0.5 * d_prime)
         return x_next, None
@@ -114,7 +127,7 @@ def edm_sampler(
     # final Euler step to sigma = 0 (no 2nd-order correction, reference :269)
     t_cur, t_next = t_steps[num_steps - 1], t_steps[num_steps]
     x_hat, t_hat = churn(x, t_cur, num_steps - 1)
-    denoised = denoise_fn(x_hat, t_hat)
+    denoised = call(x_hat, t_hat, num_steps - 1)
     return x_hat + (t_next - t_hat) * (x_hat - denoised) / t_hat
 
 

@@ -45,7 +45,34 @@ class LatentDiTBlock(nn.Module):
     d_head: int = 64
     dtype: Dtype = jnp.float32
 
-    @nn.compact
+    def setup(self):
+        inner = self.n_heads * self.d_head
+        self.norm1 = AdaLayerNorm(dim=inner, dtype=self.dtype)
+        self.attn1 = Attention(heads=self.n_heads, dim_head=self.d_head, fused_kv=False, dtype=self.dtype)
+        self.norm2 = AdaLayerNorm(dim=inner, dtype=self.dtype)
+        self.attn2 = Attention(heads=self.n_heads, dim_head=self.d_head, fused_kv=False, dtype=self.dtype)
+        self.norm3 = AdaLayerNorm(dim=inner, dtype=self.dtype)
+        self.ff = GEGLUFeedForward(dtype=self.dtype)
+
+    def mods(self, t_emb: jax.Array):
+        """All three sigma-dependent (scale, shift) pairs for this block."""
+        return (self.norm1.mod(t_emb), self.norm2.mod(t_emb), self.norm3.mod(t_emb))
+
+    def apply_with_mods(
+        self,
+        x: jax.Array,
+        mods,
+        cond: Optional[jax.Array] = None,
+        deterministic: bool = True,
+    ) -> jax.Array:
+        (s1, b1), (s2, b2), (s3, b3) = mods
+        x = x + self.attn1(self.norm1.apply_mod(x, s1, b1), deterministic=deterministic)
+        x = x + self.attn2(
+            self.norm2.apply_mod(x, s2, b2), context=cond, deterministic=deterministic
+        )
+        x = x + self.ff(self.norm3.apply_mod(x, s3, b3), deterministic=deterministic)
+        return x
+
     def __call__(
         self,
         x: jax.Array,
@@ -53,20 +80,7 @@ class LatentDiTBlock(nn.Module):
         cond: Optional[jax.Array] = None,
         deterministic: bool = True,
     ) -> jax.Array:
-        x = x + Attention(
-            heads=self.n_heads, dim_head=self.d_head, fused_kv=False, dtype=self.dtype, name="attn1"
-        )(AdaLayerNorm(dtype=self.dtype, name="norm1")(x, t_emb), deterministic=deterministic)
-        x = x + Attention(
-            heads=self.n_heads, dim_head=self.d_head, fused_kv=False, dtype=self.dtype, name="attn2"
-        )(
-            AdaLayerNorm(dtype=self.dtype, name="norm2")(x, t_emb),
-            context=cond,
-            deterministic=deterministic,
-        )
-        x = x + GEGLUFeedForward(dtype=self.dtype, name="ff")(
-            AdaLayerNorm(dtype=self.dtype, name="norm3")(x, t_emb), deterministic=deterministic
-        )
-        return x
+        return self.apply_with_mods(x, self.mods(t_emb), cond, deterministic)
 
 
 class LatentArrayTransformer(nn.Module):
@@ -78,7 +92,50 @@ class LatentArrayTransformer(nn.Module):
     out_channels: Optional[int] = None
     dtype: Dtype = jnp.float32
 
-    @nn.compact
+    def setup(self):
+        inner = self.n_heads * self.d_head
+        out_ch = self.out_channels or self.in_channels
+        self.map_noise = FourierTimeEmbedding(self.t_channels)
+        self.map_layer0 = nn.Dense(inner, dtype=self.dtype)
+        self.map_layer1 = nn.Dense(inner, dtype=self.dtype)
+        self.proj_in = nn.Dense(inner, use_bias=False, dtype=self.dtype)
+        self.blocks = [
+            LatentDiTBlock(
+                n_heads=self.n_heads, d_head=self.d_head, dtype=self.dtype, name=f"block_{i}"
+            )
+            for i in range(self.depth)
+        ]
+        self.norm = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)
+        # zero-init output projection (reference zero_module, :198-201)
+        self.proj_out = nn.Dense(
+            out_ch, use_bias=False, kernel_init=nn.initializers.zeros, dtype=self.dtype
+        )
+
+    def compute_mods(self, t: jax.Array):
+        """Noise embedding -> every block's AdaLN (scale, shift) pairs.
+
+        Sigma-dependent only — hoistable out of the sampling loop: the Heun
+        schedule's sigmas are fixed, so these 3*depth projections can be
+        evaluated once per sampling call (see diffusion.edm.edm_sampler's
+        ``denoise_indexed`` path) instead of at all 2*num_steps-1 NFEs.
+        """
+        t_emb = self.map_noise(t)[:, None, :]
+        t_emb = jax.nn.silu(self.map_layer0(t_emb.astype(self.dtype)))
+        t_emb = jax.nn.silu(self.map_layer1(t_emb))
+        return tuple(block.mods(t_emb) for block in self.blocks)
+
+    def forward_with_mods(
+        self,
+        x: jax.Array,
+        mods,
+        cond: Optional[jax.Array] = None,
+        deterministic: bool = True,
+    ) -> jax.Array:
+        x = self.proj_in(x)
+        for block, block_mods in zip(self.blocks, mods):
+            x = block.apply_with_mods(x, block_mods, cond, deterministic)
+        return self.proj_out(self.norm(x))
+
     def __call__(
         self,
         x: jax.Array,
@@ -86,23 +143,7 @@ class LatentArrayTransformer(nn.Module):
         cond: Optional[jax.Array] = None,
         deterministic: bool = True,
     ) -> jax.Array:
-        inner = self.n_heads * self.d_head
-        out_ch = self.out_channels or self.in_channels
-
-        t_emb = FourierTimeEmbedding(self.t_channels, name="map_noise")(t)[:, None, :]
-        t_emb = jax.nn.silu(nn.Dense(inner, dtype=self.dtype, name="map_layer0")(t_emb.astype(self.dtype)))
-        t_emb = jax.nn.silu(nn.Dense(inner, dtype=self.dtype, name="map_layer1")(t_emb))
-
-        x = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="proj_in")(x)
-        for i in range(self.depth):
-            x = LatentDiTBlock(
-                n_heads=self.n_heads, d_head=self.d_head, dtype=self.dtype, name=f"block_{i}"
-            )(x, t_emb, cond, deterministic)
-        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
-        # zero-init output projection (reference zero_module, :198-201)
-        return nn.Dense(
-            out_ch, use_bias=False, kernel_init=nn.initializers.zeros, dtype=self.dtype, name="proj_out"
-        )(x)
+        return self.forward_with_mods(x, self.compute_mods(t), cond, deterministic)
 
 
 class EDMPrecond(nn.Module):
@@ -205,6 +246,37 @@ class EDMPrecond(nn.Module):
             c_noise.reshape(-1),
             cond=cond_tokens,
             deterministic=deterministic,
+        )
+        return c_skip * x + c_out * f_x.astype(jnp.float32)
+
+    def compute_mod_table(self, sigmas: jax.Array):
+        """AdaLN (scale, shift) pairs for a fixed sigma schedule.
+
+        ``sigmas``: (S,) noise levels. Leaves are (S, 1, inner) — index with
+        the schedule step to modulate a whole batch (every sample in a
+        sampling batch shares the step's sigma). Hoists 3*depth tiny
+        projections out of the 2*num_steps-1 NFE loop.
+        """
+        c_noise = jnp.log(jnp.asarray(sigmas, jnp.float32)) / 4
+        return self.model.compute_mods(c_noise)
+
+    def denoise_with_mods(
+        self,
+        x: jax.Array,
+        sigma: jax.Array,
+        mods,
+        cond_tokens: Optional[jax.Array] = None,
+        deterministic: bool = True,
+    ) -> jax.Array:
+        """``denoise`` with precomputed AdaLN modulations for this sigma."""
+        x = x.astype(jnp.float32)
+        sigma = jnp.broadcast_to(jnp.asarray(sigma, jnp.float32).reshape(-1, 1, 1), (x.shape[0], 1, 1))
+        sd2 = self.sigma_data**2
+        c_skip = sd2 / (sigma**2 + sd2)
+        c_out = sigma * self.sigma_data * jax.lax.rsqrt(sigma**2 + sd2)
+        c_in = jax.lax.rsqrt(sd2 + sigma**2)
+        f_x = self.model.forward_with_mods(
+            (c_in * x).astype(self.dtype), mods, cond_tokens, deterministic
         )
         return c_skip * x + c_out * f_x.astype(jnp.float32)
 

@@ -151,17 +151,30 @@ class GEGLUFeedForward(nn.Module):
 
 
 class AdaLayerNorm(nn.Module):
-    """LayerNorm modulated by a timestep embedding (models_radar_generation.py:119-131)."""
+    """LayerNorm modulated by a timestep embedding (models_radar_generation.py:119-131).
 
+    ``mod`` and ``apply_mod`` are exposed separately so samplers can hoist
+    the sigma-dependent modulation out of the NFE loop (the schedule's
+    sigmas are fixed, so all 3*depth modulation projections can be computed
+    once per sampling call instead of 2*num_steps-1 times).
+    """
+
+    dim: int
     dtype: Dtype = jnp.float32
 
-    @nn.compact
+    def setup(self):
+        self.mod_dense = nn.Dense(2 * self.dim, dtype=self.dtype, name="mod")
+        self.ln = nn.LayerNorm(epsilon=1e-5, use_bias=False, use_scale=False, dtype=self.dtype)
+
     def __call__(self, x: jax.Array, t_emb: jax.Array) -> jax.Array:
-        dim = x.shape[-1]
-        emb = nn.Dense(2 * dim, dtype=self.dtype, name="mod")(t_emb)
-        scale, shift = jnp.split(emb, 2, axis=-1)
-        x = nn.LayerNorm(epsilon=1e-5, use_bias=False, use_scale=False, dtype=self.dtype)(x)
-        return x * (1 + scale) + shift
+        return self.apply_mod(x, *self.mod(t_emb))
+
+    def mod(self, t_emb: jax.Array):
+        scale, shift = jnp.split(self.mod_dense(t_emb), 2, axis=-1)
+        return scale, shift
+
+    def apply_mod(self, x: jax.Array, scale: jax.Array, shift: jax.Array) -> jax.Array:
+        return self.ln(x) * (1 + scale) + shift
 
 
 class FourierTimeEmbedding(nn.Module):

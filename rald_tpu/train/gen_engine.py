@@ -247,15 +247,44 @@ class GenerationEngine:
             cond = self.model.apply({"params": params}, radar_cube, method="process_radar_cond")
         latents = sample_prior_latents(seeds, self.model.n_latents, self.model.channels)
 
-        def denoise(x, sigma):
-            return self.model.apply({"params": params}, x, sigma, cond, method="denoise")
+        if self.sampler_kwargs.get("s_churn", 0) > 0 or latents.shape[0] > 1:
+            # churn perturbs sigma off the schedule; and at batch > 1 the
+            # tiny AdaLN gemms already overlap other work (measured neutral)
+            def denoise(x, sigma):
+                return self.model.apply({"params": params}, x, sigma, cond, method="denoise")
 
-        noise_keys = None
-        if self.sampler_kwargs.get("s_churn", 0) > 0:
-            from rald_tpu.diffusion.edm import per_sample_keys
+            noise_keys = None
+            if self.sampler_kwargs.get("s_churn", 0) > 0:
+                from rald_tpu.diffusion.edm import per_sample_keys
 
-            noise_keys = per_sample_keys(seeds)
-        return edm_sampler(denoise, latents, noise_keys=noise_keys, **self.sampler_kwargs)
+                noise_keys = per_sample_keys(seeds)
+            return edm_sampler(denoise, latents, noise_keys=noise_keys, **self.sampler_kwargs)
+
+        # churn-free batch-1 (the reference eval mode, eval_batch_size 1):
+        # sigmas stay on the schedule, so every AdaLN modulation is
+        # precomputable — one batched projection pass instead of 3*depth tiny
+        # gemms inside each of the 35 NFEs (measured ~8% faster per frame)
+        from rald_tpu.diffusion.edm import karras_sigmas
+
+        t_steps = karras_sigmas(
+            self.sampler_kwargs["num_steps"],
+            self.sampler_kwargs["sigma_min"],
+            self.sampler_kwargs["sigma_max"],
+            self.sampler_kwargs["rho"],
+        )
+        mod_table = self.model.apply(
+            {"params": params}, t_steps[:-1], method="compute_mod_table"
+        )
+
+        def denoise_indexed(x, sigma, idx):
+            mods = jax.tree_util.tree_map(lambda a: a[idx], mod_table)
+            return self.model.apply(
+                {"params": params}, x, sigma, mods, cond, method="denoise_with_mods"
+            )
+
+        return edm_sampler(
+            lambda x, s: None, latents, denoise_indexed=denoise_indexed, **self.sampler_kwargs
+        )
 
     def _decode_impl(self, vae_params, tokens, queries):
         out = self.vae.apply({"params": vae_params}, tokens, queries, method="decode")

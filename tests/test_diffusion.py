@@ -106,3 +106,38 @@ class TestLoss:
         good = float(edm_loss(optimal_gaussian_denoiser, rng, y))
         bad = float(edm_loss(lambda x, s: jnp.zeros_like(x), rng, y))
         assert good < bad
+
+
+class TestModTableSampling:
+    def test_indexed_path_matches_plain_denoise(self):
+        """Precomputed AdaLN-mod sampling == per-NFE modulation computation."""
+        import jax
+        from rald_tpu.models.latent_dit import EDMPrecond
+        from rald_tpu.diffusion.edm import edm_sampler, karras_sigmas
+
+        model = EDMPrecond(
+            n_latents=16, channels=8, depth=2, n_heads=2, d_head=16, cond_type="none"
+        )
+        x0 = jnp.zeros((2, 16, 8))
+        params = model.init(jax.random.PRNGKey(0), x0, jnp.ones((2,)), None)["params"]
+        latents = sample_prior_latents(jnp.arange(2), 16, 8)
+        num_steps = 6
+
+        def denoise(x, sigma):
+            return model.apply({"params": params}, x, sigma, None, method="denoise")
+
+        plain = edm_sampler(denoise, latents, num_steps=num_steps)
+
+        t_steps = karras_sigmas(num_steps)
+        table = model.apply({"params": params}, t_steps[:-1], method="compute_mod_table")
+
+        def denoise_indexed(x, sigma, idx):
+            mods = jax.tree_util.tree_map(lambda a: a[idx], table)
+            return model.apply(
+                {"params": params}, x, sigma, mods, None, method="denoise_with_mods"
+            )
+
+        indexed = edm_sampler(
+            lambda x, s: None, latents, num_steps=num_steps, denoise_indexed=denoise_indexed
+        )
+        np.testing.assert_allclose(np.asarray(indexed), np.asarray(plain), atol=1e-5)
