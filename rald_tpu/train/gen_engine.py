@@ -40,7 +40,7 @@ from rald_tpu.diffusion.edm import edm_loss, edm_sampler, sample_prior_latents
 from rald_tpu.eval.chamfer import chamfer_distance
 from rald_tpu.eval.occupancy import occupancy_metrics
 from rald_tpu.eval.ply import write_ply
-from rald_tpu.eval.queries import generate_query_points
+from rald_tpu.eval.queries import generate_query_points, generate_query_points_cart
 from rald_tpu.models.registry import get_ae_model, get_generation_model, get_radar_encoder_model
 from rald_tpu.parallel.mesh import make_mesh, shard_batch
 from rald_tpu.train.metrics import MetricLogger
@@ -407,8 +407,16 @@ class GenerationEngine:
 
         lidar = cfg.dataset.lidar
         aniso, iso = lidar.norm_anisotropy, lidar.norm_isotropy
+        use_cart_query = bool(ev.get("use_cart_query", False))
         rng_np = np.random.default_rng(self.seed)
         logger = MetricLogger(print_fn=print_fn)
+
+        def make_grid():
+            if use_cart_query:  # reference engine_generation.py:252-259
+                return generate_query_points_cart(
+                    num_query, lidar.pc_range_cart, lidar.pc_range, aniso, iso, rng_np
+                )
+            return generate_query_points(num_query, lidar.pc_range, aniso, iso, rng_np)
 
         for it, batch in enumerate(logger.log_every(iter(loader), 20, "Test:")):
             if it % eval_freq != 0:
@@ -426,7 +434,7 @@ class GenerationEngine:
             if fused:
                 # one dispatch per frame: sample + both decodes (per-call
                 # host->device overhead is tens of ms on tunneled TPUs)
-                grid = generate_query_points(num_query, lidar.pc_range, aniso, iso, rng_np)
+                grid = make_grid()
                 grid_b = np.broadcast_to(grid, (bsz, num_query, 3)).copy()
                 if use_helper and "helper_points" in batch:
                     helper = np.asarray(batch["helper_points"], np.float32)
@@ -480,7 +488,7 @@ class GenerationEngine:
             if grid_logits is not None:
                 logits = grid_logits
             else:
-                grid = generate_query_points(num_query, lidar.pc_range, aniso, iso, rng_np)
+                grid = make_grid()
                 grid_b = np.broadcast_to(grid, (bsz, num_query, 3)).copy()
                 if use_helper and "helper_points" in batch:
                     helper = np.asarray(batch["helper_points"], np.float32)

@@ -48,3 +48,35 @@ class TestConfig:
         cfg = Config({"dataset": {"split_file": "one.json"}})
         runs = list(expand_experiment_sweep(cfg))
         assert runs[0][0] is None and runs[0][1] is cfg
+
+
+class TestCartQueries:
+    def test_cart_query_points_inside_polar_box(self):
+        import numpy as np
+
+        from rald_tpu import geometry as geo
+        from rald_tpu.eval.queries import generate_query_points_cart
+
+        rng = np.random.default_rng(0)
+        pc_range = [0, -90, -20, 15.8, 90, 20]        # polar box
+        pc_range_cart = [0, -15, -5, 15, 15, 5]       # cartesian box
+        pts = generate_query_points_cart(5000, pc_range_cart, pc_range, True, False, rng)
+        assert pts.shape == (5000, 3)
+        # strictly inside the open normalized cube
+        assert (np.abs(pts) < 1).all()
+        # and their cartesian pre-images lie in the cartesian box
+        cart = geo.polar2cartesian(geo.inverse_norm_points(pts, pc_range, True, False))
+        lo, hi = np.array(pc_range_cart[:3]), np.array(pc_range_cart[3:])
+        assert (cart >= lo - 1e-3).all() and (cart <= hi + 1e-3).all()
+
+    def test_disjoint_boxes_raise(self):
+        import numpy as np
+        import pytest as _pytest
+
+        from rald_tpu.eval.queries import generate_query_points_cart
+
+        with _pytest.raises(ValueError):
+            generate_query_points_cart(
+                100, [100, 100, 100, 101, 101, 101], [0, -90, -20, 15.8, 90, 20],
+                True, False, np.random.default_rng(0), max_rounds=3,
+            )
