@@ -17,12 +17,10 @@ from __future__ import annotations
 
 import argparse
 import datetime
-import json
 import time
 from pathlib import Path
 
 import jax
-import numpy as np
 
 from rald_tpu.config import Config, dump_config, expand_experiment_sweep, finalize_dirs, load_config
 from rald_tpu.data.loader import DataLoader, ShardedSampler

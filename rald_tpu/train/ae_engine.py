@@ -25,7 +25,6 @@ from __future__ import annotations
 
 import math
 import sys
-from functools import partial
 from typing import Optional
 
 import jax
@@ -60,7 +59,10 @@ class AEEngine:
         lidar = cfg.dataset.lidar
         self.num_samples = int(lidar.num_samples)
         self.in_voxel_num = int(self.num_samples * float(lidar.query_ratio))
-        self.model = get_ae_model(cfg.lidar_ae.name, N=self.num_samples, dtype=dtype)
+        # reference sizes the model from lidar_ae.point_cloud_size (an anchor
+        # to num_samples in the shipped configs; main_ae.py:102)
+        n_model = int(cfg.lidar_ae.get("point_cloud_size", self.num_samples))
+        self.model = get_ae_model(cfg.lidar_ae.name, N=n_model, dtype=dtype)
         overrides = cfg.lidar_ae.get("overrides")  # scaled-down variants (tests/benchmarks)
         if overrides:
             self.model = self.model.copy(**overrides)
