@@ -46,7 +46,10 @@ def build_loaders(cfg, info, mode: str):
     # exist for val/test sequences, so never require them here
     eval_cfg = copy.deepcopy(ds_cfg)
     eval_cfg.use_cache_latent = False
-    test_set = get_dataset(eval_cfg, "test" if mode == "eval" else "val", seed=seed)
+    # eval.use_test_set evaluates on the test split during training
+    # (reference main_generation.py:51-54)
+    use_test = mode == "eval" or bool(cfg.get("eval", {}).get("use_test_set", False))
+    test_set = get_dataset(eval_cfg, "test" if use_test else "val", seed=seed)
     eval_loader = DataLoader(
         test_set,
         batch_size=int(ds_cfg.get("eval_batch_size", 1)),

@@ -44,6 +44,33 @@ def _room_points(rng: np.random.Generator, n: int) -> np.ndarray:
     return pts[keep]
 
 
+def _scene_radar_cube(
+    pts: np.ndarray, shape: tuple[int, int, int], rng: np.random.Generator,
+    max_range: float = 16.0,
+) -> np.ndarray:
+    """Simulate a (R, A, E, 3) radar cube from the scene's points.
+
+    Intensity is a log point-density splat over the polar grid (+ speckle),
+    so the conditioning genuinely encodes scene structure — stage-2 models
+    can *learn* the radar->scene mapping on synthetic data instead of
+    memorizing a prior against noise cubes.
+    """
+    r_dim, a_dim, e_dim = shape
+    polar = geo.cartesian2polar(pts[:, :3])
+    r_idx = np.clip((polar[:, 0] / max_range * r_dim).astype(np.int64), 0, r_dim - 1)
+    a_idx = np.clip(((polar[:, 1] + 90.0) / 180.0 * a_dim).astype(np.int64), 0, a_dim - 1)
+    e_idx = np.clip(((polar[:, 2] + 20.0) / 40.0 * e_dim).astype(np.int64), 0, e_dim - 1)
+    counts = np.zeros(shape, dtype=np.float64)
+    np.add.at(counts, (r_idx, a_idx, e_idx), 1.0)
+
+    cube = np.zeros((*shape, 3), dtype=np.float32)
+    speckle = rng.gamma(2.0, 1.0, size=shape)
+    cube[..., 0] = 10.0 * np.log10(1.0 + 8.0 * counts + speckle)
+    cube[..., 1] = rng.normal(scale=0.2, size=shape)  # static scene: ~0 velocity
+    cube[..., 2] = (counts > 0).astype(np.float32)
+    return cube
+
+
 def make_synthetic_coloradar(
     root: str | Path,
     num_train_seqs: int = 2,
@@ -82,10 +109,7 @@ def make_synthetic_coloradar(
             pts = pts[:points_per_frame]
             pts.astype(np.float32).tofile(lidar_dir / f"{i:04d}.bin")
 
-            cube = np.zeros((r_dim, a_dim, e_dim, 3), dtype=np.float32)
-            cube[..., 0] = rng.gamma(2.0, 6.0, size=(r_dim, a_dim, e_dim))  # intensity dB-ish
-            cube[..., 1] = rng.normal(scale=0.5, size=(r_dim, a_dim, e_dim))  # velocity
-            cube[..., 2] = (rng.random((r_dim, a_dim, e_dim)) > 0.5).astype(np.float32)
+            cube = _scene_radar_cube(pts, (r_dim, a_dim, e_dim), rng)
             cube.tofile(radar_dir / f"{i:04d}.bin")
 
             hp = geo.cartesian2polar(_room_points(rng, helper_points * 2)[:helper_points])
