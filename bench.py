@@ -8,9 +8,10 @@ Measures the reference's product path (BASELINE.md: "point clouds/sec/chip
   computed once) -> streamed decode of 500k occupancy queries -> threshold.
 
 The whole chain is ONE jitted program per batch size; we report the best
-per-frame throughput over batch sizes {1, 8} (the reference evaluates at
+per-frame throughput over batch sizes {1, 8, 32} (the reference evaluates at
 batch 1, engine_generation.py eval_batch_size; batching is free capability
-on TPU).
+on TPU). Sampler-only steps/sec is logged to stderr for the BASELINE.md
+"DDIM steps/sec" axis.
 
 ``vs_baseline``: the reference repo publishes no numbers (BASELINE.md) and
 CUDA hardware is unavailable here, so the baseline is a documented
@@ -126,6 +127,37 @@ def main():
     dev = jax.devices()[0]
     log(f"device: {dev}")
     fn, params, vae_params, num_queries = build()
+
+    # secondary metric: sampler steps/sec (BASELINE.md "DDIM steps/sec")
+    try:
+        from rald_tpu.config import Config
+        from rald_tpu.models.registry import get_generation_model
+        from rald_tpu.diffusion.edm import edm_sampler, sample_prior_latents
+        import numpy as np
+
+        mc = Config(cond_type="radar", use_radar_cond=True, use_radar_enc=True,
+                    unfreeze_radar_enc=True, radar_token_channel=512,
+                    enc_radar_r_dim=8, enc_radar_a_dim=4, enc_radar_e_dim=2,
+                    enc_radar_ch=16, enc_hidden_ch=64)
+        model = get_generation_model("kl_d512_m512_l32_d24_edm", mc, dtype=jnp.bfloat16)
+        rng = jax.random.PRNGKey(0)
+        p2 = model.init(rng, jnp.zeros((1, 512, 32)), jnp.ones((1,)),
+                        jnp.zeros((1, 128, 64, 32, 3)))["params"]
+        cond = model.apply({"params": p2}, jax.random.normal(rng, (8, 128, 64, 32, 3)),
+                           method="process_radar_cond")
+        samp = jax.jit(lambda p, c, s: edm_sampler(
+            lambda x, sg: model.apply({"params": p}, x, sg, c, method="denoise"),
+            sample_prior_latents(s, 512, 32)))
+        seeds = jnp.arange(8)
+        np.asarray(samp(p2, cond, seeds))[:1]
+        t0 = time.perf_counter()
+        np.asarray(samp(p2, cond, seeds))[:1]
+        dt = time.perf_counter() - t0
+        log(f"sampler: {35 / dt:.1f} batched Heun NFEs/s at batch 8 "
+            f"({8 * 35 / dt:.0f} sample-NFEs/s)")
+    except Exception as e:
+        log(f"sampler-only metric failed: {e}")
+
     best = 0.0
     for batch in (1, 8, 32):
         try:

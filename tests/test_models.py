@@ -216,3 +216,18 @@ class TestLatentDiT:
         )
         m = get_generation_model("kl_d512_m512_l32_d24_edm", cfg)
         assert m.channels == 32 and m.depth == 24 and m.unfreeze_radar_enc
+
+
+class TestDeterministicAutoEncoder:
+    def test_forward_contract(self):
+        """Reference AutoEncoder (models_ae.py:181, no KL/proj) forward."""
+        model = create_autoencoder(dim=64, M=16, N=128, deterministic=True, query_type="point")
+        pc = jax.random.normal(jax.random.PRNGKey(0), (1, 128, 3))
+        queries = jax.random.normal(jax.random.PRNGKey(1), (1, 25, 3))
+        variables = model.init({"params": jax.random.PRNGKey(2)}, pc, queries)
+        out = model.apply(variables, pc, queries)
+        assert out["logits"].shape == (1, 25)
+        assert float(jnp.sum(out["kl"])) == 0.0  # deterministic: no KL
+        # latent is the full-dim token state, decode needs no proj
+        kl, z = model.apply(variables, pc, method="encode")
+        assert z.shape == (1, 16, 64)
