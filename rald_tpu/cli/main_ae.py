@@ -100,9 +100,10 @@ def run(cfg: Config) -> dict:
     for epoch in range(start_epoch, epochs):
         train_loader.set_epoch(epoch)
         state, train_stats = engine.train_one_epoch(state, train_loader, epoch, log_writer=tb)
-        if info["is_main_process"] and (
-            (epoch + 1) % save_freq == 0 or epoch + 1 == epochs
-        ):
+        # orbax coordinates multihost saves internally — every process must
+        # participate (a rank-0 gate like the reference's save_on_master
+        # would deadlock multihost)
+        if (epoch + 1) % save_freq == 0 or epoch + 1 == epochs:
             ckpt.save(state, epoch)
         log = {f"train_{k}": v for k, v in train_stats.items()}
         if eval_freq and ((epoch + 1) % eval_freq == 0 or epoch + 1 == epochs):

@@ -148,7 +148,8 @@ def run(cfg: Config) -> dict:
             vae_params=None if engine.use_cache_latent else vae_params,
             radar_enc_params=radar_enc_params, log_writer=tb,
         )
-        if info["is_main_process"] and ((epoch + 1) % save_freq == 0 or epoch + 1 == epochs):
+        # all processes participate in orbax saves (multihost coordination)
+        if (epoch + 1) % save_freq == 0 or epoch + 1 == epochs:
             ckpt.save(state, epoch)
         log = {f"train_{k}": v for k, v in train_stats.items()}
         if eval_freq and ((epoch + 1) % eval_freq == 0 or epoch + 1 == epochs):

@@ -74,6 +74,7 @@ class AEEngine:
         self.ema_rate = 0.999
         self.clip_grad = float(t.get("clip_grad", 0) or 0)
         self.skip_nonfinite = bool(t.get("skip_nonfinite_updates", False))
+        self.accum_iter = int(t.get("accum_iter", 1) or 1)
         self.epochs = int(t.epochs)
         self.warmup_epochs = float(t.get("warmup_epochs", 0))
         self.min_lr = float(t.get("min_lr", 0.0))
@@ -102,7 +103,7 @@ class AEEngine:
         )
         state = create_train_state(
             variables["params"], self.lr_schedule, clip_grad=self.clip_grad,
-            skip_nonfinite=self.skip_nonfinite,
+            skip_nonfinite=self.skip_nonfinite, accum_iter=self.accum_iter,
         )
         # commit the state replicated over the mesh: keeps jit shardings
         # unambiguous and makes checkpoints restore to the same placement

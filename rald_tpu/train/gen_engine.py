@@ -121,6 +121,7 @@ class GenerationEngine:
         self.ema_rate = 0.999
         self.clip_grad = float(t.get("clip_grad", 0) or 0)
         self.skip_nonfinite = bool(t.get("skip_nonfinite_updates", False))
+        self.accum_iter = int(t.get("accum_iter", 1) or 1)
         self.epochs = int(t.epochs)
         self.warmup_epochs = float(t.get("warmup_epochs", 0))
         self.min_lr = float(t.get("min_lr", 0.0))
@@ -151,7 +152,7 @@ class GenerationEngine:
         variables = self.model.init(rng, x, sigma, cube)
         state = create_train_state(
             variables["params"], self.lr_schedule, clip_grad=self.clip_grad,
-            skip_nonfinite=self.skip_nonfinite,
+            skip_nonfinite=self.skip_nonfinite, accum_iter=self.accum_iter,
         )
         from rald_tpu.parallel.mesh import replicated
 

@@ -47,6 +47,7 @@ def make_optimizer(
     clip_grad: Optional[float] = None,
     weight_decay: float = 0.01,
     skip_nonfinite: bool = False,
+    accum_iter: int = 1,
 ) -> optax.GradientTransformation:
     """Global-norm clip (reference misc.py:255-269) -> AdamW.
 
@@ -54,6 +55,10 @@ def make_optimizer(
     non-finite gradient skips the update instead of poisoning the params —
     a fault-tolerance upgrade over the reference's process abort
     (engine_ae.py:103-105).
+
+    ``accum_iter > 1`` wraps in ``optax.MultiSteps``: gradients are averaged
+    over k micro-batches and applied every k-th step, matching the
+    reference's loss/accum_iter + update_grad cadence (engine_ae.py:107-113).
     """
     chain = []
     if clip_grad is not None and clip_grad > 0:
@@ -64,6 +69,8 @@ def make_optimizer(
     tx = optax.chain(*chain)
     if skip_nonfinite:
         tx = optax.apply_if_finite(tx, max_consecutive_errors=100)
+    if accum_iter > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=int(accum_iter))
     return tx
 
 
@@ -73,10 +80,11 @@ def create_train_state(
     clip_grad: Optional[float] = None,
     weight_decay: float = 0.01,
     skip_nonfinite: bool = False,
+    accum_iter: int = 1,
 ) -> TrainState:
     import jax.numpy as jnp
 
-    tx = make_optimizer(learning_rate, clip_grad, weight_decay, skip_nonfinite)
+    tx = make_optimizer(learning_rate, clip_grad, weight_decay, skip_nonfinite, accum_iter)
     return TrainState(
         step=jnp.zeros((), jnp.int32),
         params=params,

@@ -216,3 +216,29 @@ class TestNonFiniteGuard:
         good = {"w": jnp.ones((4,))}
         after_good = after_bad.apply_gradients(good)
         assert float(after_good.params["w"][0]) < 1.0  # training continues
+
+
+class TestGradAccumulation:
+    def test_multisteps_applies_every_k(self):
+        params = {"w": jnp.ones((4,))}
+        state = create_train_state(params, 0.1, clip_grad=1.0, accum_iter=2)
+        g = {"w": jnp.ones((4,))}
+        s1 = state.apply_gradients(g)
+        # first micro-step: accumulate only, params unchanged
+        np.testing.assert_allclose(np.asarray(s1.params["w"]), 1.0)
+        s2 = s1.apply_gradients(g)
+        assert float(s2.params["w"][0]) < 1.0  # applied at the 2nd micro-step
+
+    def test_accumulated_equals_big_batch_mean(self):
+        """Two micro-grads averaged == one grad of their mean."""
+        params = {"w": jnp.ones((3,))}
+        acc = create_train_state(params, 0.1, accum_iter=2)
+        g1 = {"w": jnp.asarray([1.0, 2.0, 3.0])}
+        g2 = {"w": jnp.asarray([3.0, 2.0, 1.0])}
+        acc = acc.apply_gradients(g1).apply_gradients(g2)
+
+        big = create_train_state(params, 0.1)
+        big = big.apply_gradients({"w": jnp.asarray([2.0, 2.0, 2.0])})
+        np.testing.assert_allclose(
+            np.asarray(acc.params["w"]), np.asarray(big.params["w"]), atol=1e-6
+        )
