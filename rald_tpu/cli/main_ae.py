@@ -62,6 +62,8 @@ def build_loaders(cfg, info):
 
 def run(cfg: Config) -> dict:
     enable_compilation_cache()
+    if cfg.system.get("matmul_precision"):  # 'highest' for strict checkpoint parity
+        jax.config.update("jax_default_matmul_precision", cfg.system.matmul_precision)
     info = init_distributed()
     mesh = make_mesh()
     print(f"devices: {jax.device_count()} ({jax.local_device_count()} local), "

@@ -11,6 +11,8 @@ import datetime
 import time
 from pathlib import Path
 
+import jax
+
 from rald_tpu.config import finalize_dirs, load_config
 from rald_tpu.data.loader import DataLoader, ShardedSampler
 from rald_tpu.data.registry import get_dataset
@@ -20,6 +22,8 @@ from rald_tpu.train.gen_engine import GenerationEngine
 
 def run(cfg) -> Path:
     enable_compilation_cache()
+    if cfg.system.get("matmul_precision"):  # 'highest' for strict checkpoint parity
+        jax.config.update("jax_default_matmul_precision", cfg.system.matmul_precision)
     info = init_distributed()
     mesh = make_mesh()
     dataset = get_dataset(cfg.dataset, "train", seed=int(cfg.system.get("seed", 0)))

@@ -102,6 +102,8 @@ def load_frozen_modules(cfg, engine: GenerationEngine):
 
 def run(cfg: Config) -> dict:
     enable_compilation_cache()
+    if cfg.system.get("matmul_precision"):  # 'highest' for strict checkpoint parity
+        jax.config.update("jax_default_matmul_precision", cfg.system.matmul_precision)
     info = init_distributed()
     mesh = make_mesh()
     mode = cfg.system.get("mode", "train")
