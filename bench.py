@@ -149,9 +149,9 @@ def main():
             lambda x, sg: model.apply({"params": p}, x, sg, c, method="denoise"),
             sample_prior_latents(s, 512, 32)))
         seeds = jnp.arange(8)
-        np.asarray(samp(p2, cond, seeds))[:1]
+        np.asarray(samp(p2, cond, seeds)[:1, :1, :1])
         t0 = time.perf_counter()
-        np.asarray(samp(p2, cond, seeds))[:1]
+        np.asarray(samp(p2, cond, seeds)[:1, :1, :1])
         dt = time.perf_counter() - t0
         log(f"sampler: {35 / dt:.1f} batched Heun NFEs/s at batch 8 "
             f"({8 * 35 / dt:.0f} sample-NFEs/s)")
