@@ -88,6 +88,22 @@ class MetricLogger:
     def averages(self) -> dict:
         return {k: m.global_avg for k, m in self.meters.items()}
 
+    @staticmethod
+    def _device_mem() -> str:
+        """Peak device memory, the TPU analog of the reference's CUDA
+        max-mem display (misc.py:126-158). Empty when the backend doesn't
+        expose memory_stats (e.g. CPU)."""
+        try:
+            import jax
+
+            stats = jax.local_devices()[0].memory_stats()
+            peak = stats.get("peak_bytes_in_use")
+            if peak:
+                return f" mem: {peak / 2**20:.0f}MB"
+        except Exception:
+            pass
+        return ""
+
     def log_every(self, iterable: Iterable, print_freq: int, header: str = ""):
         """Iterator wrapper printing iter/data timing + ETA (misc.py:120-164)."""
         i = 0
@@ -104,14 +120,15 @@ class MetricLogger:
             yield obj
             iter_time.update(time.time() - end)
             if i % print_freq == 0 or (total is not None and i == total - 1):
+                mem = self._device_mem()
                 if total is not None:
                     eta = datetime.timedelta(seconds=int(iter_time.global_avg * (total - i)))
                     self.print(
                         f"{header} [{i}/{total}] eta: {eta} {self} "
-                        f"time: {iter_time} data: {data_time}"
+                        f"time: {iter_time} data: {data_time}{mem}"
                     )
                 else:
-                    self.print(f"{header} [{i}] {self} time: {iter_time} data: {data_time}")
+                    self.print(f"{header} [{i}] {self} time: {iter_time} data: {data_time}{mem}")
             i += 1
             end = time.time()
         elapsed = time.time() - start
