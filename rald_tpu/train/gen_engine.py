@@ -454,7 +454,9 @@ class GenerationEngine:
                 grid_logits = np.asarray(grid_logits)[:, :grid_true]
                 grid_b = grid_b[:, :grid_true]
             elif use_pred_latent:
-                tokens = jnp.squeeze(jax.device_put(batch["pred_latent"]), 1)
+                tokens = jax.device_put(np.asarray(batch["pred_latent"], np.float32))
+                if tokens.ndim == 4:  # reference .pt latents carry (1, M, D) per frame
+                    tokens = jnp.squeeze(tokens, 1)
             else:
                 seeds = jnp.arange(it * bsz, it * bsz + bsz)
                 tokens = self._sample(params, radar_cube, seeds)

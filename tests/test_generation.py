@@ -224,3 +224,32 @@ class TestShardedQueryDecode:
         cfg.eval.store_pc = False
         stats = run(cfg)
         assert 0.0 <= stats["iou"] <= 1.0
+
+
+class TestPredLatentRoundtrip:
+    def test_store_then_reuse_latents(self, synth_root):
+        """store_latent writes sampled tokens; use_pred_latent re-decodes them
+        without sampling (reference engine_generation.py:186-222 + dataset
+        pred_latent path)."""
+        from rald_tpu.cli.main_generation import run
+
+        cfg = _gen_cfg(synth_root, "eval")
+        cfg.system.output_dir = str(synth_root / "gen_store_lat")
+        cfg.eval.store_pc = False
+        cfg.eval.store_latent = True
+        cfg.eval.store_base_dir = str(synth_root / "latdumps")
+        cfg.eval.exp_name = "latexp"
+        run(cfg)
+        stored = list((synth_root / "latdumps" / "latexp").rglob("latent_tokens/*.npy"))
+        assert len(stored) == 4  # test seq frames
+        assert np.load(stored[0]).shape == (16, 8)
+
+        cfg2 = _gen_cfg(synth_root, "eval")
+        cfg2.system.output_dir = str(synth_root / "gen_use_lat")
+        cfg2.eval.store_pc = False
+        cfg2.eval.use_pred_latent = True
+        cfg2.dataset.use_pred_latent = True
+        cfg2.dataset.pred_latent_base_dir = str(synth_root / "latdumps")
+        cfg2.dataset.pred_latent_sub_dir = "latexp"
+        stats = run(cfg2)
+        assert 0.0 <= stats["iou"] <= 1.0
