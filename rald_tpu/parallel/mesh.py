@@ -55,16 +55,19 @@ def init_distributed() -> dict:
     explicit JAX vars first, then torchrun-style RANK/WORLD_SIZE/MASTER_ADDR.
     Single-process (the silent fallback at misc.py:231-235) needs nothing.
     """
-    if jax.process_count() > 1:
+    # must not touch the backend (jax.process_count() would initialize it)
+    # before jax.distributed.initialize has had its chance
+    if jax.distributed.is_initialized():
         return process_info()
     coord = os.environ.get("JAX_COORDINATOR_ADDRESS")
     if coord is None and "MASTER_ADDR" in os.environ and "WORLD_SIZE" in os.environ:
         coord = f"{os.environ['MASTER_ADDR']}:{os.environ.get('MASTER_PORT', '12355')}"
-    if coord is not None and int(os.environ.get("WORLD_SIZE", os.environ.get("JAX_NUM_PROCESSES", "1"))) > 1:
+    world = int(os.environ.get("WORLD_SIZE") or os.environ.get("JAX_NUM_PROCESSES") or "1")
+    if coord is not None and world > 1:
         jax.distributed.initialize(
             coordinator_address=coord,
-            num_processes=int(os.environ.get("WORLD_SIZE", os.environ["JAX_NUM_PROCESSES"])),
-            process_id=int(os.environ.get("RANK", os.environ.get("JAX_PROCESS_ID", "0"))),
+            num_processes=world,
+            process_id=int(os.environ.get("RANK") or os.environ.get("JAX_PROCESS_ID") or "0"),
         )
     return process_info()
 

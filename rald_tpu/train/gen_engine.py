@@ -48,8 +48,12 @@ from rald_tpu.train.schedule import scale_base_lr, warmup_cosine_schedule
 from rald_tpu.train.state import TrainState, create_train_state
 
 
-def bce_with_logits(logits, labels):
-    return jnp.mean(optax.sigmoid_binary_cross_entropy(logits, labels))
+def bce_with_logits(logits, labels, mask=None):
+    bce = optax.sigmoid_binary_cross_entropy(logits, labels)
+    if mask is None:
+        return jnp.mean(bce)
+    mask = mask.astype(bce.dtype)
+    return jnp.sum(bce * mask) / (jnp.sum(mask) + 1e-5)
 
 
 class GenerationEngine:
@@ -306,15 +310,14 @@ class GenerationEngine:
         queries attend independently to the tokens, so inference decode is
         embarrassingly parallel over the mesh — our sequence parallelism).
         Query count must be a multiple of the mesh size (caller pads)."""
-        from jax.experimental.shard_map import shard_map
         from jax.sharding import PartitionSpec as P
 
-        fn = shard_map(
+        fn = jax.shard_map(
             self._decode_impl,
             mesh=self.mesh,
             in_specs=(P(), P(), P(None, "data", None)),
             out_specs=P(None, "data"),
-            check_rep=False,
+            check_vma=False,
         )
         return fn(vae_params, tokens, queries)
 
@@ -424,6 +427,8 @@ class GenerationEngine:
                 continue
             surface = np.asarray(batch["lidar_points"])
             bsz = surface.shape[0]
+            # bucket-padded ragged eval: real per-frame counts for GT slicing
+            pts_num = np.asarray(batch.get("points_num", [surface.shape[1]] * bsz), np.int64)
             radar_cube = None
             if self.use_radar_cond:
                 radar_cube = jax.device_put(batch["radar_cube"])
@@ -474,15 +479,21 @@ class GenerationEngine:
                 logger.update(loss=-1.0, iou=-1.0)
                 continue
 
-            # loss/IoU on the eval query set (or the surface for iou_test_only)
+            # loss/IoU on the eval query set (or the surface for iou_test_only;
+            # reference computes these in BOTH modes, engine_generation.py:229-247,
+            # and iou_test_only skips only the CD/grid block :249)
             if not fused:
                 queries = jax.device_put(surface if iou_test_only else batch["query_points"])
                 logits = self._decode(vae_params, tokens, queries)
             labels = jax.device_put(batch["query_labels"]).astype(jnp.float32)
-            if not iou_test_only:
-                logger.update(loss=float(bce_with_logits(logits, labels)))
-                m = occupancy_metrics(logits, labels)
-                logger.update(iou=float(m["iou"]), accuracy=float(m["accuracy"]))
+            qmask = None
+            if iou_test_only and "lidar_mask" in batch:  # surface-query mode
+                qmask = jax.device_put(np.asarray(batch["lidar_mask"], np.float32))
+            elif "query_mask" in batch:  # bucket-padded ragged eval
+                qmask = jax.device_put(np.asarray(batch["query_mask"], np.float32))
+            logger.update(loss=float(bce_with_logits(logits, labels, qmask)))
+            m = occupancy_metrics(logits, labels, mask=qmask)
+            logger.update(iou=float(m["iou"]), accuracy=float(m["accuracy"]))
 
             if iou_test_only:
                 continue
@@ -501,7 +512,7 @@ class GenerationEngine:
             for i in range(bsz):
                 pos = grid_b[i][logits[i] > 0]
                 pred = geo.inverse_norm_points(pos, lidar.pc_range, aniso, iso)
-                gt = geo.inverse_norm_points(surface[i], lidar.pc_range, aniso, iso)
+                gt = geo.inverse_norm_points(surface[i, : pts_num[i]], lidar.pc_range, aniso, iso)
 
                 if refine_query and len(pred):
                     refined = aug_query_helper(

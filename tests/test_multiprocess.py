@@ -1,0 +1,58 @@
+"""Multi-process distributed runtime test (VERDICT.md round-1 weak #4).
+
+Launches TWO local processes that rendezvous through
+``mesh.init_distributed`` (torchrun-style MASTER_ADDR/RANK/WORLD_SIZE env
+discovery, the reference's misc.py:214-246 surface), build a global 2-device
+mesh, feed per-process local shards via
+``jax.make_array_from_process_local_data``, and run one psum'd sharded
+step — the full multi-host path that single-process tests cannot reach.
+"""
+import os
+import socket
+import subprocess
+import sys
+
+import pytest
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def test_two_process_cluster():
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    worker = os.path.join(repo, "tests", "_mp_worker.py")
+    port = _free_port()
+
+    procs = []
+    for rank in range(2):
+        env = os.environ.copy()
+        # one CPU device per process -> 2 global devices
+        env.pop("XLA_FLAGS", None)
+        env.update(
+            MASTER_ADDR="127.0.0.1",
+            MASTER_PORT=str(port),
+            WORLD_SIZE="2",
+            RANK=str(rank),
+        )
+        procs.append(
+            subprocess.Popen(
+                [sys.executable, worker], env=env, cwd=repo,
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            )
+        )
+
+    outs = []
+    for rank, p in enumerate(procs):
+        try:
+            out, _ = p.communicate(timeout=240)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out)
+        assert p.returncode == 0, f"rank {rank} failed:\n{out}"
+    for rank, out in enumerate(outs):
+        assert f"MP_OK rank={rank}" in out, out
