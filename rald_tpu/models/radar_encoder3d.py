@@ -109,6 +109,7 @@ class RadarEncoder3D(nn.Module):
     ch_mult: Sequence[int] = (1, 1, 2, 2, 4)
     num_res_blocks: int = 2
     attn_resolutions: Tuple[Tuple[int, int, int], ...] = ((8, 4, 2),)
+    resolution: Tuple[int, int, int] = (128, 64, 32)
     dropout: float = 0.0
     z_channels: int = 16
     dtype: Dtype = jnp.float32
@@ -117,6 +118,11 @@ class RadarEncoder3D(nn.Module):
     def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
         h = nn.Conv(self.ch, (3, 3, 3), dtype=self.dtype, name="conv_in")(x)
         num_levels = len(self.ch_mult)
+        # attn insertion follows the CONFIGURED resolution's halving schedule,
+        # not the actual tensor shape (reference :165-183 tracks curr_res from
+        # the `resolution` ctor arg) — so the module structure is independent
+        # of the input size, matching reference checkpoints exactly.
+        curr_res = tuple(self.resolution)
         for i_level in range(num_levels):
             for i_block in range(self.num_res_blocks):
                 h = ResnetBlock3D(
@@ -125,10 +131,11 @@ class RadarEncoder3D(nn.Module):
                     dtype=self.dtype,
                     name=f"down_{i_level}_block_{i_block}",
                 )(h, deterministic)
-                if tuple(h.shape[1:4]) in self.attn_resolutions:
+                if curr_res in self.attn_resolutions:
                     h = AttnBlock3D(dtype=self.dtype, name=f"down_{i_level}_attn_{i_block}")(h)
             if i_level != num_levels - 1:
                 h = Downsample3D(dtype=self.dtype, name=f"down_{i_level}_downsample")(h)
+                curr_res = tuple(int(r / 2) for r in curr_res)
 
         h = ResnetBlock3D(dropout=self.dropout, dtype=self.dtype, name="mid_block_1")(h, deterministic)
         h = AttnBlock3D(dtype=self.dtype, name="mid_attn_1")(h)

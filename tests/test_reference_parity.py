@@ -1,0 +1,262 @@
+"""Parity against the ACTUAL reference implementation (`/root/reference`).
+
+Unlike test_convert.py (builder-written torch reproductions), these tests
+import the reference's own model classes — ``model/models_ae.py:284``
+(KLAutoEncoder), ``model/models_radar_generation.py:314`` (EDMPrecond),
+``model/models_radar_encoder.py:366`` (RadarAutoencoder) — run them on
+random weights, convert the state_dicts with
+:mod:`rald_tpu.convert.torch_ckpt`, and require our flax forwards to match
+numerically at both tiny and full-size shapes. A shared misreading of the
+reference cannot pass here (VERDICT.md round-1 "What's missing" #2).
+"""
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax
+import jax.numpy as jnp
+
+from rald_tpu.config import Config
+from rald_tpu.convert.torch_ckpt import (
+    convert_edm_state_dict,
+    convert_radar_autoencoder_state_dict,
+    convert_vae_state_dict,
+)
+from tests.reference_loader import load_reference_models
+
+ref_ae, ref_gen, ref_renc = load_reference_models()
+
+
+@pytest.fixture(autouse=True)
+def _mean_sample(monkeypatch):
+    """Make the reference posterior deterministic: sample() -> mean.
+
+    Our encode(sample_posterior=False) returns the mean, so both sides
+    compare the same deterministic path."""
+    monkeypatch.setattr(
+        ref_ae.DiagonalGaussianDistribution, "sample", lambda self: self.mean
+    )
+
+
+def _sd(tmodel):
+    return {k: v for k, v in tmodel.state_dict().items()}
+
+
+# ------------------------------------------------------------------- VAE
+
+
+class TestVAEParity:
+    def _build(self, query_type, tiny=True):
+        from rald_tpu.models.vecset_vae import VecSetVAE
+
+        torch.manual_seed(0)
+        if tiny:
+            kw = dict(depth=2, dim=32, queries_dim=32, output_dim=1, num_inputs=64,
+                      num_latents=8, latent_dim=4, heads=2, dim_head=16)
+            tmodel = ref_ae.KLAutoEncoder(query_type=query_type, **kw).eval()
+            jmodel = VecSetVAE(query_type=query_type, depth=2, dim=32, queries_dim=32,
+                               num_inputs=64, num_latents=8, latent_dim=4, heads=2,
+                               dim_head=16)
+            depth = 2
+        else:
+            tmodel = ref_ae.create_autoencoder(
+                dim=512, M=512, latent_dim=32, N=10000, query_type=query_type
+            ).eval()
+            jmodel = VecSetVAE(query_type=query_type, depth=24, dim=512, queries_dim=512,
+                               num_inputs=10000, num_latents=512, latent_dim=32,
+                               heads=8, dim_head=64)
+            depth = 24
+        params = convert_vae_state_dict(_sd(tmodel), depth=depth, query_type=query_type)
+        return tmodel, jmodel, {"params": params}
+
+    @pytest.mark.parametrize("query_type", ["mix", "learnable", "point"])
+    def test_encode_tiny(self, query_type):
+        tmodel, jmodel, variables = self._build(query_type)
+        rng = np.random.default_rng(1)
+        pc = rng.normal(size=(2, 64, 3)).astype(np.float32)
+        with torch.no_grad():
+            t_kl, t_mean = tmodel.encode(torch.from_numpy(pc))
+        j_kl, j_mean = jmodel.apply(
+            variables, jnp.asarray(pc), sample_posterior=False, method="encode"
+        )
+        np.testing.assert_allclose(np.asarray(j_mean), t_mean.numpy(), atol=2e-5)
+        np.testing.assert_allclose(
+            np.asarray(j_kl), t_kl.numpy(), rtol=1e-5, atol=1e-5
+        )
+
+    def test_decode_tiny(self):
+        tmodel, jmodel, variables = self._build("mix")
+        rng = np.random.default_rng(2)
+        z = rng.normal(size=(2, 8, 4)).astype(np.float32)
+        q = rng.normal(size=(2, 37, 3)).astype(np.float32)
+        with torch.no_grad():
+            t_logits = tmodel.decode(torch.from_numpy(z), torch.from_numpy(q))
+        j_logits = jmodel.apply(variables, jnp.asarray(z), jnp.asarray(q), method="decode")
+        np.testing.assert_allclose(np.asarray(j_logits), t_logits.numpy(), atol=2e-5)
+
+    def test_forward_tiny(self):
+        """Full reference forward() dict (logits + kl) vs our __call__."""
+        tmodel, jmodel, variables = self._build("mix")
+        rng = np.random.default_rng(3)
+        pc = rng.normal(size=(2, 64, 3)).astype(np.float32)
+        q = rng.normal(size=(2, 21, 3)).astype(np.float32)
+        with torch.no_grad():
+            t_out = tmodel(torch.from_numpy(pc), torch.from_numpy(q))
+        j_out = jmodel.apply(
+            variables, jnp.asarray(pc), jnp.asarray(q), sample_posterior=False
+        )
+        np.testing.assert_allclose(
+            np.asarray(j_out["logits"]), t_out["logits"].numpy(), atol=2e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(j_out["kl"]), t_out["kl"].numpy(), rtol=1e-5, atol=1e-5
+        )
+
+    def test_full_size_mix(self):
+        """kl_d512_m512_l32_mix at N=10000: the production stage-1 model."""
+        tmodel, jmodel, variables = self._build("mix", tiny=False)
+        rng = np.random.default_rng(4)
+        pc = rng.normal(size=(1, 10000, 3)).astype(np.float32)
+        q = rng.normal(size=(1, 64, 3)).astype(np.float32)
+        with torch.no_grad():
+            t_kl, t_mean = tmodel.encode(torch.from_numpy(pc))
+            t_logits = tmodel.decode(t_mean, torch.from_numpy(q))
+        j_kl, j_mean = jmodel.apply(
+            variables, jnp.asarray(pc), sample_posterior=False, method="encode"
+        )
+        j_logits = jmodel.apply(variables, j_mean, jnp.asarray(q), method="decode")
+        np.testing.assert_allclose(np.asarray(j_mean), t_mean.numpy(), atol=5e-4)
+        np.testing.assert_allclose(np.asarray(j_logits), t_logits.numpy(), atol=5e-3)
+
+
+# ------------------------------------------------------------------- EDM
+
+
+def _edm_cfg(tiny=True):
+    if tiny:
+        return Config(
+            cond_type="radar", use_radar_cond=True, use_radar_enc=True,
+            unfreeze_radar_enc=True, radar_token_channel=32,
+            enc_radar_r_dim=2, enc_radar_a_dim=1, enc_radar_e_dim=1,
+            enc_radar_ch=4, enc_hidden_ch=32,
+        )
+    return Config(
+        cond_type="radar", use_radar_cond=True, use_radar_enc=True,
+        unfreeze_radar_enc=True, radar_token_channel=512,
+        enc_radar_r_dim=8, enc_radar_a_dim=4, enc_radar_e_dim=2,
+        enc_radar_ch=16, enc_hidden_ch=64,
+    )
+
+
+class TestEDMParity:
+    def _build_tiny(self):
+        from rald_tpu.models.latent_dit import EDMPrecond
+
+        cfg = _edm_cfg(tiny=True)
+        torch.manual_seed(0)
+        tmodel = ref_gen.EDMPrecond(
+            n_latents=16, channels=8, n_heads=2, d_head=16, depth=2, configs=cfg
+        ).eval()
+        jmodel = EDMPrecond(
+            n_latents=16, channels=8, n_heads=2, d_head=16, depth=2,
+            cond_type="radar", use_radar_enc=True, unfreeze_radar_enc=True,
+            radar_token_channel=32, enc_radar_dims=(2, 1, 1),
+            enc_radar_ch=4, enc_hidden_ch=32,
+        )
+        params = convert_edm_state_dict(_sd(tmodel), depth=2)
+        return tmodel, jmodel, {"params": params}
+
+    def test_process_radar_cond_tiny(self):
+        tmodel, jmodel, variables = self._build_tiny()
+        rng = np.random.default_rng(5)
+        cube = rng.normal(size=(2, 32, 16, 16, 3)).astype(np.float32)
+        with torch.no_grad():
+            t_tok = tmodel.process_radar_cond(torch.from_numpy(cube))
+        j_tok = jmodel.apply(variables, jnp.asarray(cube), method="process_radar_cond")
+        np.testing.assert_allclose(np.asarray(j_tok), t_tok.numpy(), atol=2e-4)
+
+    def test_denoise_tiny(self):
+        """Full reference forward (preconditioning + DiT + radar cond)."""
+        tmodel, jmodel, variables = self._build_tiny()
+        rng = np.random.default_rng(6)
+        x = rng.normal(size=(2, 16, 8)).astype(np.float32)
+        sigma = np.array([0.5, 3.0], dtype=np.float32)
+        cube = rng.normal(size=(2, 32, 16, 16, 3)).astype(np.float32)
+        with torch.no_grad():
+            t_dx = tmodel(
+                torch.from_numpy(x), torch.from_numpy(sigma),
+                label_tokens=torch.from_numpy(cube), cond_type="radar",
+            )
+        j_dx = jmodel.apply(
+            variables, jnp.asarray(x), jnp.asarray(sigma), jnp.asarray(cube)
+        )
+        np.testing.assert_allclose(np.asarray(j_dx), t_dx.numpy(), atol=5e-4)
+
+    def test_full_size(self):
+        """kl_d512_m512_l32_d24_edm + in-graph radar encoder on a full
+        (128, 64, 32) cube: the production stage-2 model."""
+        from rald_tpu.models.registry import get_generation_model
+
+        cfg = _edm_cfg(tiny=False)
+        torch.manual_seed(0)
+        tmodel = ref_gen.kl_d512_m512_l32_d24_edm(configs=cfg).eval()
+        jmodel = get_generation_model("kl_d512_m512_l32_d24_edm", cfg)
+        params = convert_edm_state_dict(_sd(tmodel), depth=24)
+        rng = np.random.default_rng(7)
+        x = rng.normal(size=(1, 512, 32)).astype(np.float32)
+        sigma = np.array([1.7], dtype=np.float32)
+        cube = rng.normal(size=(1, 128, 64, 32, 3)).astype(np.float32)
+        with torch.no_grad():
+            t_dx = tmodel(
+                torch.from_numpy(x), torch.from_numpy(sigma),
+                label_tokens=torch.from_numpy(cube), cond_type="radar",
+            )
+        j_dx = jmodel.apply(
+            {"params": params}, jnp.asarray(x), jnp.asarray(sigma), jnp.asarray(cube)
+        )
+        np.testing.assert_allclose(np.asarray(j_dx), t_dx.numpy(), atol=2e-3)
+
+
+# ---------------------------------------------------------- radar 3D-CNN
+
+
+class TestRadarAEParity:
+    def test_autoencoder_roundtrip(self):
+        from rald_tpu.models.radar_encoder3d import RadarAutoencoder
+
+        torch.manual_seed(0)
+        tmodel = ref_renc.RadarAutoencoder(
+            basic_channel=32, ch_mult=(1, 1, 2, 2, 4), num_res_blocks=2, embed_dim=16
+        ).eval()
+        jmodel = RadarAutoencoder(basic_channel=32, embed_dim=16, in_channels=2)
+        params = convert_radar_autoencoder_state_dict(_sd(tmodel))
+        rng = np.random.default_rng(8)
+        cube = rng.normal(size=(1, 32, 16, 16, 2)).astype(np.float32)
+        with torch.no_grad():
+            t_out = tmodel(torch.from_numpy(cube))
+        j_out = jmodel.apply({"params": params}, jnp.asarray(cube))
+        np.testing.assert_allclose(
+            np.asarray(j_out["pred"]), t_out["pred"].numpy(), atol=5e-4
+        )
+        # reference latent is NCDHW; ours NDHWC
+        t_lat = t_out["latent"].permute(0, 2, 3, 4, 1).numpy()
+        np.testing.assert_allclose(np.asarray(j_out["latent"]), t_lat, atol=5e-4)
+
+    def test_frozen_encoder_path(self):
+        """Encoder alone (the frozen `_encode` path, models_radar_encoder.py:390)."""
+        from rald_tpu.models.radar_encoder3d import RadarEncoder3D
+        from rald_tpu.convert.torch_ckpt import convert_radar_encoder_state_dict
+
+        torch.manual_seed(1)
+        tmodel = ref_renc.RadarAutoencoder(
+            basic_channel=32, ch_mult=(1, 1, 2, 2, 4), num_res_blocks=2, embed_dim=16
+        ).eval()
+        jenc = RadarEncoder3D(ch=32, z_channels=16)
+        params = convert_radar_encoder_state_dict(_sd(tmodel), prefix="encoder.")
+        rng = np.random.default_rng(9)
+        cube = rng.normal(size=(2, 32, 16, 16, 2)).astype(np.float32)
+        with torch.no_grad():
+            t_z = tmodel._encode(torch.from_numpy(cube))  # NDHWC out
+        j_z = jenc.apply({"params": params}, jnp.asarray(cube))
+        np.testing.assert_allclose(np.asarray(j_z), t_z.numpy(), atol=5e-4)
