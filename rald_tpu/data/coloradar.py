@@ -85,6 +85,13 @@ class ColoRadarDataset:
         self.max_voxels = lidar.max_number_of_voxels
         self.view_cone_mode = lidar.get("view_cone_mode", False)
         self.cache_voxel = lidar.cache_voxel
+        # ragged-eval bucket ladder (sampling: false pads raw per-frame
+        # counts to <=len(buckets) static sizes so XLA compiles few programs)
+        from rald_tpu.data.bucket import DEFAULT_EVAL_BUCKETS
+
+        self.eval_pad_buckets = tuple(
+            int(b) for b in lidar.get("eval_pad_buckets", DEFAULT_EVAL_BUCKETS)
+        )
 
         self.load_split()
 
@@ -252,11 +259,27 @@ class ColoRadarDataset:
             pick = rng.choice(n, self.num_samples, replace=n < self.num_samples)
             points = points[pick]
 
+        bucket = None
+        if not self.sampling:
+            # raw per-frame counts (reference eval configs, sampling: false):
+            # bucket-pad to few static sizes so XLA compiles few programs
+            from rald_tpu.data.bucket import pad_axis0, pick_bucket
+
+            bucket = pick_bucket(points.shape[0], self.eval_pad_buckets)
+            if points.shape[0] > bucket:  # beyond the largest bucket: subsample
+                points = points[rng.choice(points.shape[0], bucket, replace=False)]
+
         points_num = points.shape[0]
         in_num = int(points_num * self.query_ratio)
         out_num = points_num - in_num
 
-        data["lidar_points"] = self._norm(points[:, :3])
+        if bucket is None:
+            data["lidar_points"] = self._norm(points[:, :3])
+        else:
+            padded, mask = pad_axis0(self._norm(points[:, :3]), bucket)
+            data["lidar_points"] = padded
+            data["lidar_mask"] = mask
+            data["points_num"] = np.int32(points_num)
 
         if self.load_query:
             if self.loader_type == "train":
@@ -266,8 +289,15 @@ class ColoRadarDataset:
                 )
             else:
                 q, l = sample_eval_queries(coords_zyx, self.voxel_size, self.pc_range, points_num, rng)
-            data["query_points"] = self._norm(q)
-            data["query_labels"] = l
+            if bucket is None:
+                data["query_points"] = self._norm(q)
+                data["query_labels"] = l
+            else:
+                qp, qmask = pad_axis0(self._norm(q), bucket)
+                ql, _ = pad_axis0(l, bucket)
+                data["query_points"] = qp
+                data["query_labels"] = ql
+                data["query_mask"] = qmask
             data["in_voxel_num"] = np.int32(in_num)
 
         if self.use_query_helper:

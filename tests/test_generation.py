@@ -195,7 +195,7 @@ class TestOnDeviceUpsample:
 
 class TestShardedQueryDecode:
     def test_matches_unsharded(self, synth_root):
-        """Query-axis shard_map decode == plain decode on a 4-dev mesh."""
+        """Query-axis shard_map decode == plain decode on the full CPU mesh."""
         import jax
         import jax.numpy as jnp
 
@@ -253,3 +253,99 @@ class TestPredLatentRoundtrip:
         cfg2.dataset.pred_latent_sub_dir = "latexp"
         stats = run(cfg2)
         assert 0.0 <= stats["iou"] <= 1.0
+
+
+class TestRaggedEvalBucketPadding:
+    """`sampling: false` eval (reference Coloradar_dataset.py:91-97) with
+    bucket padding: few static shapes + masked metrics (VERDICT round-1 #4)."""
+
+    def _ragged_cfg(self, synth_root):
+        cfg = _gen_cfg(synth_root, "eval")
+        cfg.dataset.lidar.sampling = False
+        cfg.dataset.lidar.eval_pad_buckets = [2048, 4096]
+        return cfg
+
+    def test_dataset_buckets_and_masks(self, synth_root):
+        from rald_tpu.data.registry import get_dataset
+
+        cfg = self._ragged_cfg(synth_root)
+        ds = get_dataset(cfg.dataset, "test")
+        shapes = set()
+        for i in range(len(ds)):
+            item = ds[i]
+            n = int(item["points_num"])
+            b = item["lidar_points"].shape[0]
+            shapes.add(b)
+            assert b in (2048, 4096)
+            assert item["lidar_mask"].sum() == n
+            assert (item["lidar_points"][n:] == 0).all()
+            assert item["query_points"].shape[0] == b
+            qm = item["query_mask"]
+            assert qm.sum() == n  # eval query count == raw point count
+            assert (item["query_labels"][qm == 0] == 0).all()
+            assert (item["query_labels"][qm == 1] == 1).all()
+        # every frame maps into the static ladder -> <=len(buckets) programs
+        assert shapes <= {2048, 4096}
+
+    def test_truncation_beyond_largest_bucket(self, synth_root):
+        from rald_tpu.data.registry import get_dataset
+
+        cfg = self._ragged_cfg(synth_root)
+        cfg.dataset.lidar.eval_pad_buckets = [1024]  # frames have ~4000 pts
+        ds = get_dataset(cfg.dataset, "test")
+        item = ds[0]
+        assert item["lidar_points"].shape[0] == 1024
+        assert int(item["points_num"]) == 1024
+        assert item["lidar_mask"].sum() == 1024
+
+    def test_masked_metrics_match_unpadded(self):
+        import jax.numpy as jnp
+
+        from rald_tpu.eval.occupancy import occupancy_metrics
+        from rald_tpu.train.gen_engine import bce_with_logits
+
+        rng = np.random.default_rng(0)
+        logits = rng.normal(size=(2, 100)).astype(np.float32)
+        labels = (rng.random((2, 100)) < 0.5).astype(np.float32)
+        n = 60
+        ref_m = occupancy_metrics(jnp.asarray(logits[:, :n]), jnp.asarray(labels[:, :n]))
+        ref_bce = bce_with_logits(jnp.asarray(logits[:, :n]), jnp.asarray(labels[:, :n]))
+
+        padded_logits = logits.copy()
+        padded_logits[:, n:] = 7.7  # junk in the pad region must not matter
+        padded_labels = labels.copy()
+        padded_labels[:, n:] = 0.0
+        mask = np.zeros((2, 100), np.float32)
+        mask[:, :n] = 1.0
+        got_m = occupancy_metrics(
+            jnp.asarray(padded_logits), jnp.asarray(padded_labels), mask=jnp.asarray(mask)
+        )
+        got_bce = bce_with_logits(
+            jnp.asarray(padded_logits), jnp.asarray(padded_labels), jnp.asarray(mask)
+        )
+        np.testing.assert_allclose(float(got_m["iou"]), float(ref_m["iou"]), rtol=1e-5)
+        np.testing.assert_allclose(
+            float(got_m["accuracy"]), float(ref_m["accuracy"]), rtol=1e-5
+        )
+        np.testing.assert_allclose(float(got_bce), float(ref_bce), rtol=1e-4)
+
+    def test_eval_harness_ragged(self, synth_root):
+        from rald_tpu.cli.main_generation import run
+
+        cfg = self._ragged_cfg(synth_root)
+        cfg.system.output_dir = str(synth_root / "gen_eval_ragged")
+        cfg.eval.ckpt = str(synth_root / "gen_train" / "checkpoint-1")
+        cfg.eval.store_pc = False
+        stats = run(cfg)
+        assert np.isfinite(stats["loss"])
+        assert 0.0 <= stats["iou"] <= 1.0
+
+    def test_collate_repads_mixed_buckets(self):
+        from rald_tpu.data.loader import collate
+
+        a = {"x": np.ones((4, 3), np.float32), "m": np.ones(4, np.float32)}
+        b = {"x": np.ones((8, 3), np.float32), "m": np.ones(8, np.float32)}
+        out = collate([a, b])
+        assert out["x"].shape == (2, 8, 3)
+        assert (out["x"][0, 4:] == 0).all()
+        assert out["m"].shape == (2, 8) and out["m"][0].sum() == 4
