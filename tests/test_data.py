@@ -226,3 +226,32 @@ class TestHUSTRadar:
         item = ds[0]
         assert item["radar_cube"].shape == (32, 8, 2, 2)
         assert item["lidar_points"].shape == (256, 3)
+
+
+def test_voxelize_hand_golden():
+    """Hand-derived golden from spconv Point2VoxelCPU3d's documented contract
+    (first-appearance voxel order, first-come point capping, (z,y,x) coords)
+    — an oracle independent of our implementation, covering the semantics the
+    spconv differential test (skipped here: spconv not installed) would."""
+    voxel = [1.0, 1.0, 1.0]
+    pc_range = [0, 0, 0, 4, 4, 4]
+    pts = np.array(
+        [
+            [0.5, 0.5, 0.5],   # voxel A (0,0,0) -> first seen
+            [2.5, 1.5, 0.5],   # voxel B (2,1,0) -> second
+            [0.6, 0.4, 0.9],   # voxel A again
+            [0.1, 0.1, 0.1],   # voxel A: 3rd point -> dropped (cap 2)
+            [-1.0, 0.5, 0.5],  # out of range -> dropped
+            [3.9, 3.9, 3.9],   # voxel C (3,3,3) -> third; dropped (max_voxels 2)
+            [2.6, 1.6, 0.6],   # voxel B again
+        ],
+        dtype=np.float32,
+    )
+    g = voxelize(pts, voxel, pc_range, max_points_per_voxel=2, max_voxels=2)
+    # coords are (z, y, x), in first-appearance order
+    np.testing.assert_array_equal(g.coords, [[0, 0, 0], [0, 1, 2]])
+    np.testing.assert_array_equal(g.num_points, [2, 2])
+    np.testing.assert_allclose(g.voxels[0, 0], pts[0])
+    np.testing.assert_allclose(g.voxels[0, 1], pts[2])  # first-come keeps 0,2 not 3
+    np.testing.assert_allclose(g.voxels[1, 0], pts[1])
+    np.testing.assert_allclose(g.voxels[1, 1], pts[6])
