@@ -43,16 +43,24 @@ Dtype = jnp.dtype
 class LatentDiTBlock(nn.Module):
     n_heads: int = 8
     d_head: int = 64
+    use_flash: bool = False
+    use_fused_ff: bool = False
+    use_fused_attn: bool = False
     dtype: Dtype = jnp.float32
 
     def setup(self):
         inner = self.n_heads * self.d_head
         self.norm1 = AdaLayerNorm(dim=inner, dtype=self.dtype)
-        self.attn1 = Attention(heads=self.n_heads, dim_head=self.d_head, fused_kv=False, dtype=self.dtype)
+        # flash only on the 512-token self-attn; the cross-attn's 64-token KV
+        # is below the kernel's 128-lane block and stays on the einsum path
+        self.attn1 = Attention(
+            heads=self.n_heads, dim_head=self.d_head, fused_kv=False,
+            use_flash=self.use_flash, dtype=self.dtype,
+        )
         self.norm2 = AdaLayerNorm(dim=inner, dtype=self.dtype)
         self.attn2 = Attention(heads=self.n_heads, dim_head=self.d_head, fused_kv=False, dtype=self.dtype)
         self.norm3 = AdaLayerNorm(dim=inner, dtype=self.dtype)
-        self.ff = GEGLUFeedForward(dtype=self.dtype)
+        self.ff = GEGLUFeedForward(use_fused=self.use_fused_ff, dtype=self.dtype)
 
     def mods(self, t_emb: jax.Array):
         """All three sigma-dependent (scale, shift) pairs for this block."""
@@ -66,7 +74,20 @@ class LatentDiTBlock(nn.Module):
         deterministic: bool = True,
     ) -> jax.Array:
         (s1, b1), (s2, b2), (s3, b3) = mods
-        x = x + self.attn1(self.norm1.apply_mod(x, s1, b1), deterministic=deterministic)
+        if self.use_fused_attn and not self.is_initializing():
+            # whole sublayer (AdaLN mod + LN + MHA + out-proj + residual) in
+            # one VMEM-resident Pallas kernel (rald_tpu.ops.attn_kernel)
+            from rald_tpu.ops.attn_kernel import fused_self_attention_block
+
+            p = self.variables["params"]["attn1"]
+            x = fused_self_attention_block(
+                x, s1, b1,
+                p["to_q"]["kernel"], p["to_k"]["kernel"], p["to_v"]["kernel"],
+                p["to_out"]["kernel"], p["to_out"]["bias"],
+                heads=self.n_heads,
+            )
+        else:
+            x = x + self.attn1(self.norm1.apply_mod(x, s1, b1), deterministic=deterministic)
         x = x + self.attn2(
             self.norm2.apply_mod(x, s2, b2), context=cond, deterministic=deterministic
         )
@@ -90,6 +111,9 @@ class LatentArrayTransformer(nn.Module):
     d_head: int = 64
     depth: int = 12
     out_channels: Optional[int] = None
+    use_flash: bool = False
+    use_fused_ff: bool = False
+    use_fused_attn: bool = False
     dtype: Dtype = jnp.float32
 
     def setup(self):
@@ -101,7 +125,9 @@ class LatentArrayTransformer(nn.Module):
         self.proj_in = nn.Dense(inner, use_bias=False, dtype=self.dtype)
         self.blocks = [
             LatentDiTBlock(
-                n_heads=self.n_heads, d_head=self.d_head, dtype=self.dtype, name=f"block_{i}"
+                n_heads=self.n_heads, d_head=self.d_head, use_flash=self.use_flash,
+                use_fused_ff=self.use_fused_ff, use_fused_attn=self.use_fused_attn,
+                dtype=self.dtype, name=f"block_{i}"
             )
             for i in range(self.depth)
         ]
@@ -166,6 +192,9 @@ class EDMPrecond(nn.Module):
     enc_radar_dims: tuple = (8, 4, 2)  # (R', A', E') after the 3D-CNN encoder
     enc_radar_ch: int = 16
     enc_hidden_ch: int = 64
+    use_flash: bool = False
+    use_fused_ff: bool = False
+    use_fused_attn: bool = False
     dtype: Dtype = jnp.float32
 
     def setup(self):
@@ -175,6 +204,9 @@ class EDMPrecond(nn.Module):
             n_heads=self.n_heads,
             d_head=self.d_head,
             depth=self.depth,
+            use_flash=self.use_flash,
+            use_fused_ff=self.use_fused_ff,
+            use_fused_attn=self.use_fused_attn,
             dtype=self.dtype,
         )
         if self.cond_type == "radar":

@@ -51,12 +51,25 @@ RADAR_ENCODER_VARIANTS = {
 }
 
 
-def get_ae_model(name: str, N: int = 2048, dtype: Dtype = jnp.float32) -> VecSetVAE:
+def get_ae_model(
+    name: str,
+    N: int = 2048,
+    dtype: Dtype = jnp.float32,
+    use_flash: bool = False,
+    use_fused_ff: bool = False,
+    fold_decode_tail: bool = False,
+) -> VecSetVAE:
     kw = dict(AE_VARIANTS[name])
-    return create_autoencoder(N=N, dtype=dtype, **kw)
+    return create_autoencoder(
+        N=N, dtype=dtype, use_flash=use_flash, use_fused_ff=use_fused_ff,
+        fold_decode_tail=fold_decode_tail, **kw
+    )
 
 
-def get_generation_model(name: str, configs, dtype: Dtype = jnp.float32) -> EDMPrecond:
+def get_generation_model(
+    name: str, configs, dtype: Dtype = jnp.float32, use_flash: bool = False,
+    use_fused_ff: bool = False, use_fused_attn: bool = False,
+) -> EDMPrecond:
     """Build an EDM model from an ``ar_model.configs`` block (reference yml surface)."""
     kw = GENERATION_VARIANTS[name]
     return EDMPrecond(
@@ -79,6 +92,9 @@ def get_generation_model(name: str, configs, dtype: Dtype = jnp.float32) -> EDMP
         ),
         enc_radar_ch=configs.get("enc_radar_ch", 16),
         enc_hidden_ch=configs.get("enc_hidden_ch", 64),
+        use_flash=use_flash,
+        use_fused_ff=use_fused_ff,
+        use_fused_attn=use_fused_attn,
         dtype=dtype,
     )
 

@@ -48,6 +48,8 @@ class SelfAttnBlock(nn.Module):
     heads: int = 8
     dim_head: int = 64
     drop_path_rate: float = 0.1
+    use_flash: bool = False
+    use_fused_ff: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -57,12 +59,14 @@ class SelfAttnBlock(nn.Module):
             heads=self.heads,
             dim_head=self.dim_head,
             drop_path_rate=self.drop_path_rate,
+            use_flash=self.use_flash,
             dtype=self.dtype,
             name="attn",
         )(h, deterministic=deterministic)
         h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ff_norm")(x)
         x = x + GEGLUFeedForward(
-            drop_path_rate=self.drop_path_rate, dtype=self.dtype, name="ff"
+            drop_path_rate=self.drop_path_rate, use_fused=self.use_fused_ff,
+            dtype=self.dtype, name="ff"
         )(h, deterministic=deterministic)
         return x
 
@@ -80,6 +84,9 @@ class VecSetVAE(nn.Module):
     query_type: str = "mix"  # 'point' | 'learnable' | 'mix'
     deterministic_latent: bool = False  # reference AutoEncoder (models_ae.py:181)
     query_chunk: int = 65536
+    use_flash: bool = False  # Pallas flash attention in the self-attn stack (TPU only)
+    use_fused_ff: bool = False  # Pallas fused GEGLU FF in the self-attn stack (TPU inference)
+    fold_decode_tail: bool = False  # fold values/out-proj/occupancy head (inference)
     dtype: Dtype = jnp.float32
 
     def setup(self):
@@ -114,7 +121,8 @@ class VecSetVAE(nn.Module):
 
         self.blocks = [
             SelfAttnBlock(
-                heads=self.heads, dim_head=self.dim_head, dtype=self.dtype, name=f"block_{i}"
+                heads=self.heads, dim_head=self.dim_head, use_flash=self.use_flash,
+                use_fused_ff=self.use_fused_ff, dtype=self.dtype, name=f"block_{i}"
             )
             for i in range(self.depth)
         ]
@@ -194,8 +202,19 @@ class VecSetVAE(nn.Module):
 
         Streams the query axis in ``query_chunk`` blocks: each chunk runs
         point-embed -> LN -> cross-attend (KV precomputed once) -> head.
+
+        With ``fold_decode_tail`` everything after the softmax collapses: the
+        occupancy head is linear, so ``((attn @ V) W_out + b_out) W_head + b``
+        == ``attn @ (V W_out W_head) + (b_out W_head + b)`` with a per-call
+        (M, 1) folded value vector — dropping the two (B, chunk, dim) value /
+        out-proj matmuls (~45% of decode FLOPs) and their HBM round-trips.
+        Identical math to the reference chain (models_ae.py:417-424), just
+        reassociated; enable for inference.
         """
         ctx = self.dec_norm_ctx(tokens)
+
+        if self.fold_decode_tail and not self.is_initializing() and self.output_dim == 1:
+            return self._decode_queries_folded(ctx, queries)
 
         def tail(q_blk: jax.Array) -> jax.Array:
             q_emb = self.dec_norm_q(self.point_embed(q_blk))
@@ -204,7 +223,41 @@ class VecSetVAE(nn.Module):
 
         if self.is_initializing():
             return tail(queries)
-        return map_query_chunks(tail, queries, self.query_chunk)
+        return map_query_chunks(tail, queries, self._chunk(queries.shape[0]))
+
+    def _chunk(self, batch: int) -> int:
+        """Per-chunk query count, scaled so batch * chunk stays ~constant.
+
+        A fixed chunk regresses at large batch: the per-chunk (B, chunk, dim)
+        intermediates grow with B and spill (measured: batch 32 was ~15%
+        slower per frame than batch 8 with chunk 65536). Cap the row budget
+        at 2^19 rows per dispatch instead.
+        """
+        return max(4096, min(self.query_chunk, (1 << 19) // max(1, batch)))
+
+    def _decode_queries_folded(self, ctx: jax.Array, queries: jax.Array) -> jax.Array:
+        p = self.variables["params"]
+        ca = p["dec_cross_attn"]
+        wq = ca["to_q"]["kernel"]
+        wk, wv = jnp.split(ca["to_kv"]["kernel"], 2, axis=-1)
+        wo, bo = ca["to_out"]["kernel"], ca["to_out"]["bias"]
+        wh, bh = p["to_outputs"]["kernel"], p["to_outputs"]["bias"]
+        w_tail = wo.astype(jnp.float32) @ wh.astype(jnp.float32)  # (dim, 1)
+        bias = bo.astype(jnp.float32) @ wh.astype(jnp.float32) + bh.astype(jnp.float32)
+
+        k = ctx @ wk.astype(self.dtype)  # (B, M, dim)
+        v = ctx @ wv.astype(self.dtype)
+        v_fold = v.astype(jnp.float32) @ w_tail  # (B, M, 1)
+        scale = float(self.queries_dim) ** -0.5
+
+        def tail(q_blk: jax.Array) -> jax.Array:
+            q_emb = self.dec_norm_q(self.point_embed(q_blk))
+            q = q_emb @ wq.astype(self.dtype)
+            sim = jnp.einsum("bqd,bmd->bqm", q, k) * scale
+            attn = jax.nn.softmax(sim.astype(jnp.float32), axis=-1)
+            return jnp.einsum("bqm,bmo->bqo", attn, v_fold.astype(jnp.float32)) + bias
+
+        return map_query_chunks(tail, queries, self._chunk(queries.shape[0]))
 
     def decode(self, z: jax.Array, queries: jax.Array, deterministic: bool = True) -> jax.Array:
         tokens = self.decode_latents(z, deterministic=deterministic)
@@ -232,6 +285,9 @@ def create_autoencoder(
     N: int = 2048,
     deterministic: bool = False,
     query_type: str = "point",
+    use_flash: bool = False,
+    use_fused_ff: bool = False,
+    fold_decode_tail: bool = False,
     dtype: Dtype = jnp.float32,
 ) -> VecSetVAE:
     """Factory matching reference ``create_autoencoder`` (models_ae.py:434-459)."""
@@ -247,5 +303,8 @@ def create_autoencoder(
         dim_head=64,
         query_type=query_type,
         deterministic_latent=deterministic,
+        use_flash=use_flash,
+        use_fused_ff=use_fused_ff,
+        fold_decode_tail=fold_decode_tail,
         dtype=dtype,
     )

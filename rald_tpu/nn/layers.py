@@ -79,6 +79,23 @@ class DropPath(nn.Module):
         return jnp.where(mask, x / keep, jnp.zeros_like(x))
 
 
+def _flash_attention(q: jax.Array, k: jax.Array, v: jax.Array, scale: float) -> jax.Array:
+    """Pallas TPU flash attention over (B, N, H, D) tensors.
+
+    Never materializes the (B, H, N, N) score tensor in HBM — the XLA einsum
+    path writes + re-reads it (f32) around the softmax, which is the dominant
+    activation traffic of the 512-token attention stacks (DiT sampler, VAE
+    decoder). TPU-only; callers gate via ``Attention.use_flash``.
+    """
+    from jax.experimental.pallas.ops.tpu.flash_attention import flash_attention
+
+    def bhnd(t):
+        return t.transpose(0, 2, 1, 3)
+
+    out = flash_attention(bhnd(q), bhnd(k), bhnd(v), sm_scale=scale, causal=False)
+    return bhnd(out)
+
+
 class Attention(nn.Module):
     """Multi-head softmax attention with optional cross-attention context.
 
@@ -86,6 +103,11 @@ class Attention(nn.Module):
     ``to_kv`` matrix (models_ae.py:79), the DiT uses split ``to_k``/``to_v``
     (models_radar_generation.py:47-48). Math is identical; layout matters only
     for checkpoint conversion.
+
+    ``use_flash`` switches eligible shapes (unmasked, 128-aligned sequence
+    lengths) to the Pallas TPU flash-attention kernel. It is a TPU-only
+    execution detail with identical math (softmax statistics in f32); keep it
+    off on CPU test meshes.
     """
 
     heads: int = 8
@@ -93,6 +115,7 @@ class Attention(nn.Module):
     out_dim: Optional[int] = None
     fused_kv: bool = True
     drop_path_rate: float = 0.0
+    use_flash: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -119,22 +142,40 @@ class Attention(nn.Module):
             return t.reshape(*t.shape[:-1], self.heads, self.dim_head)
 
         q, k, v = map(split_heads, (q, k, v))
-        sim = jnp.einsum("...qhd,...khd->...hqk", q, k) * (self.dim_head**-0.5)
-        if mask is not None:
-            sim = jnp.where(mask != 0, jnp.finfo(sim.dtype).min, sim)
-        attn = jax.nn.softmax(sim.astype(jnp.float32), axis=-1).astype(self.dtype)
-        out = jnp.einsum("...hqk,...khd->...qhd", attn, v)
+        scale = self.dim_head**-0.5
+        if (
+            self.use_flash
+            and mask is None
+            and q.ndim == 4
+            and q.shape[1] % 128 == 0
+            and k.shape[1] % 128 == 0
+        ):
+            out = _flash_attention(q, k, v, scale)
+        else:
+            sim = jnp.einsum("...qhd,...khd->...hqk", q, k) * scale
+            if mask is not None:
+                sim = jnp.where(mask != 0, jnp.finfo(sim.dtype).min, sim)
+            attn = jax.nn.softmax(sim.astype(jnp.float32), axis=-1).astype(self.dtype)
+            out = jnp.einsum("...hqk,...khd->...qhd", attn, v)
         out = out.reshape(*out.shape[:-2], inner)
         out = nn.Dense(out_dim, dtype=self.dtype, name="to_out")(out)
         return DropPath(self.drop_path_rate, name="drop_path")(out, deterministic)
 
 
 class GEGLUFeedForward(nn.Module):
-    """Linear -> GEGLU -> Linear (reference models_ae.py:56-68)."""
+    """Linear -> GEGLU -> Linear (reference models_ae.py:56-68).
+
+    ``use_fused`` routes through the Pallas kernel in
+    :mod:`rald_tpu.ops.geglu_kernel`, which keeps the (tokens, 2*inner)
+    projection and the gated product in VMEM instead of round-tripping HBM
+    between the two matmuls. Inference-only (no autodiff rule) and TPU-only;
+    training and CPU tests keep the unfused path.
+    """
 
     mult: int = 4
     out_dim: Optional[int] = None
     drop_path_rate: float = 0.0
+    use_fused: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -142,11 +183,21 @@ class GEGLUFeedForward(nn.Module):
         dim = x.shape[-1]
         out_dim = self.out_dim if self.out_dim is not None else dim
         inner = dim * self.mult
-        h = nn.Dense(inner * 2, dtype=self.dtype, name="proj_in")(x)
-        h, gates = jnp.split(h, 2, axis=-1)
-        # exact (erf) gelu: torch F.gelu default — checkpoint parity matters
-        h = h * jax.nn.gelu(gates, approximate=False)
-        h = nn.Dense(out_dim, dtype=self.dtype, name="proj_out")(h)
+        if self.use_fused and not self.is_initializing():
+            from rald_tpu.ops.geglu_kernel import geglu_ff
+
+            p = self.variables["params"]
+            h = geglu_ff(
+                x.astype(self.dtype),
+                p["proj_in"]["kernel"], p["proj_in"]["bias"],
+                p["proj_out"]["kernel"], p["proj_out"]["bias"],
+            )
+        else:
+            h = nn.Dense(inner * 2, dtype=self.dtype, name="proj_in")(x)
+            h, gates = jnp.split(h, 2, axis=-1)
+            # exact (erf) gelu: torch F.gelu default — checkpoint parity matters
+            h = h * jax.nn.gelu(gates, approximate=False)
+            h = nn.Dense(out_dim, dtype=self.dtype, name="proj_out")(h)
         return DropPath(self.drop_path_rate, name="drop_path")(h, deterministic)
 
 

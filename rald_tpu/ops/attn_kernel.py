@@ -1,0 +1,120 @@
+"""Fused self-attention sublayer Pallas kernel for 512-token stacks.
+
+The DiT / VAE self-attention sublayer is, per token batch b:
+
+    y = x + Wo @ MHA(norm(x)) ,  norm = LayerNorm (+ optional AdaLN mod)
+
+with 512 tokens, dim 512, 8 heads x 64. Under XLA the q/k/v projections,
+the (H, 512, 512) score tensor, the softmax and the values matmul each
+round-trip HBM (~90 MB per layer per NFE at batch 8) — roughly as much time
+as the sublayer's FLOPs (tower measurements in scripts/perf_probe2.py).
+
+This kernel runs the WHOLE sublayer per batch element in VMEM: one grid
+step loads x (512x512 bf16, 0.5 MB) and the four weight matrices (2 MB,
+VMEM-resident across the grid via constant index maps), computes LN(+mod),
+q/k/v, all 8 heads' attention (f32 softmax), the out-projection and the
+residual add, and writes only the (512, 512) result.
+
+Used by the sampler's 35-NFE scan and the VAE decoder stack; inference-only
+(no autodiff rule). The reference computes the same math as separate torch
+ops (models_radar_generation.py:133-169, models_ae.py:412-414).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _kernel(x_ref, s_ref, b_ref, wq_ref, wk_ref, wv_ref, wo_ref, bo_ref, o_ref,
+            *, heads: int, ln_eps: float, scale_shift_mod: bool):
+    x = x_ref[0]  # (N, D) bf16
+    xf = x.astype(jnp.float32)
+    m = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf), axis=-1, keepdims=True) - jnp.square(m)
+    h = (xf - m) * jax.lax.rsqrt(var + ln_eps)
+    s_row = s_ref[0].astype(jnp.float32)  # (1, D)
+    b_row = b_ref[0].astype(jnp.float32)
+    if scale_shift_mod:
+        h = h * (1.0 + s_row) + b_row
+    else:
+        # plain LayerNorm with learned scale/bias (VAE blocks)
+        h = h * s_row + b_row
+    h = h.astype(x.dtype)
+
+    q = jnp.dot(h, wq_ref[...], preferred_element_type=jnp.float32).astype(x.dtype)
+    k = jnp.dot(h, wk_ref[...], preferred_element_type=jnp.float32).astype(x.dtype)
+    v = jnp.dot(h, wv_ref[...], preferred_element_type=jnp.float32).astype(x.dtype)
+
+    n, d = x.shape
+    dh = d // heads
+    outs = []
+    for hd in range(heads):
+        sl = slice(hd * dh, (hd + 1) * dh)
+        qh, kh, vh = q[:, sl], k[:, sl], v[:, sl]
+        s = jax.lax.dot_general(
+            qh, kh, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * (dh ** -0.5)
+        s = s - jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s)
+        a = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(x.dtype)
+        outs.append(jnp.dot(a, vh, preferred_element_type=jnp.float32).astype(x.dtype))
+    attn_out = jnp.concatenate(outs, axis=-1)
+
+    y = jnp.dot(attn_out, wo_ref[...], preferred_element_type=jnp.float32)
+    y = y + bo_ref[...].astype(jnp.float32) + xf  # residual
+    o_ref[0] = y.astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("heads", "ln_eps", "scale_shift_mod", "interpret")
+)
+def fused_self_attention_block(
+    x: jax.Array,
+    scale: jax.Array,
+    shift: jax.Array,
+    wq: jax.Array,
+    wk: jax.Array,
+    wv: jax.Array,
+    wo: jax.Array,
+    bo: jax.Array,
+    heads: int = 8,
+    ln_eps: float = 1e-5,
+    scale_shift_mod: bool = True,
+    interpret: bool = False,
+) -> jax.Array:
+    """``x + Wo @ MHA(mod(LN(x)))`` fused per batch element.
+
+    x: (B, N, D); scale/shift: (B, N or 1, D) AdaLN modulation
+    (``scale_shift_mod=True``: ``h*(1+scale)+shift``) or broadcastable
+    LayerNorm scale/bias (``False``: ``h*scale+shift``); wq/wk/wv/wo:
+    (D, D); bo: (D,). N and D must be 128-aligned; D == heads * head_dim.
+    """
+    b, n, d = x.shape
+    scale = jnp.broadcast_to(scale.astype(x.dtype), (b, 1, d)).reshape(b, 1, d)
+    shift = jnp.broadcast_to(shift.astype(x.dtype), (b, 1, d)).reshape(b, 1, d)
+    wq, wk, wv, wo, bo = (a.astype(x.dtype) for a in (wq, wk, wv, wo, bo))
+
+    kernel = functools.partial(
+        _kernel, heads=heads, ln_eps=ln_eps, scale_shift_mod=scale_shift_mod
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, n, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, n, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, n, d), x.dtype),
+        interpret=interpret,
+    )(x, scale, shift, wq, wk, wv, wo, bo.reshape(1, -1))

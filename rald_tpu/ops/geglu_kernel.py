@@ -1,0 +1,109 @@
+"""Fused GEGLU feed-forward Pallas kernel.
+
+The DiT / VAE transformer blocks' FF is ``x @ W1 -> split -> h * gelu(g) ->
+@ W2`` with ``dim=512``, ``inner=2048`` (reference models_ae.py:56-68,
+models_radar_generation.py:88-117). Under XLA the (tokens, 4096) projection
+output and the (tokens, 2048) gated product round-trip HBM between the two
+matmuls — at batch 8 x 512 tokens that is ~100 MB per layer per NFE, the
+single largest activation stream of the 35-NFE sampler.
+
+This kernel tiles the token axis and keeps the wide intermediates in VMEM:
+per grid step it computes ``(block, dim) @ (dim, 2*inner)`` on the MXU,
+applies the GEGLU gate on the VPU, and immediately contracts with
+``(inner, dim)`` — the only HBM traffic is x, W1, W2, bias and the (block,
+dim) result. Weights (512x4096 + 2048x512 bf16 = 6 MB) stay VMEM-resident
+across the whole token range via a constant index_map.
+
+Exact-erf GELU to match torch F.gelu (checkpoint parity).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _erf(x):
+    """Abramowitz & Stegun 7.1.26 rational approximation, |err| <= 1.5e-7.
+
+    Pallas TPU has no erf/erfc lowering; 1.5e-7 is ~4 orders of magnitude
+    below bf16 resolution (2^-8), so the fused FF matches the unfused
+    exact-erf GELU path bit-for-bit after the bf16 round.
+    """
+    a1, a2, a3, a4, a5 = 0.254829592, -0.284496736, 1.421413741, -1.453152027, 1.061405429
+    s = jnp.sign(x)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + 0.3275911 * ax)
+    y = 1.0 - ((((a5 * t + a4) * t + a3) * t + a2) * t + a1) * t * jnp.exp(-ax * ax)
+    return s * y
+
+
+def _gelu_exact(x):
+    xf = x.astype(jnp.float32)
+    return (0.5 * xf * (1.0 + _erf(xf * 0.7071067811865476))).astype(x.dtype)
+
+
+def _kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref):
+    # storage dtype follows x (bf16 in the engines); the MXU accumulates in
+    # f32 internally either way — numerics match the unfused flax Dense path
+    x = x_ref[...]
+    h = jnp.dot(x, w1_ref[...], preferred_element_type=jnp.float32)
+    h = (h + b1_ref[...].astype(jnp.float32)).astype(x.dtype)
+    inner = h.shape[-1] // 2
+    val, gate = h[:, :inner], h[:, inner:]
+    g = val * _gelu_exact(gate)
+    out = jnp.dot(g, w2_ref[...], preferred_element_type=jnp.float32)
+    o_ref[...] = (out + b2_ref[...].astype(jnp.float32)).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block", "interpret"))
+def geglu_ff(
+    x: jax.Array,
+    w1: jax.Array,
+    b1: jax.Array,
+    w2: jax.Array,
+    b2: jax.Array,
+    block: int = 256,
+    interpret: bool = False,
+) -> jax.Array:
+    """``(proj_in -> GEGLU -> proj_out)(x)`` fused in VMEM.
+
+    x: (..., N, dim); w1: (dim, 2*inner); b1: (2*inner,); w2: (inner,
+    out_dim); b2: (out_dim,). Returns (..., N, out_dim) in x.dtype. The
+    leading axes are flattened into the token axis (the FF is pointwise over
+    tokens). Inference-path only (no autodiff rule).
+    """
+    lead = x.shape[:-1]
+    dim = x.shape[-1]
+    two_inner = w1.shape[-1]
+    out_dim = w2.shape[-1]
+    w1, b1, w2, b2 = (a.astype(x.dtype) for a in (w1, b1, w2, b2))
+    n = 1
+    for s in lead:
+        n *= s
+    xf = x.reshape(n, dim)
+    nb = -(-n // block)
+    pad = nb * block - n
+    if pad:
+        xf = jnp.pad(xf, ((0, pad), (0, 0)))
+
+    out = pl.pallas_call(
+        _kernel,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((block, dim), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((dim, two_inner), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, two_inner), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((two_inner // 2, out_dim), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, out_dim), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block, out_dim), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nb * block, out_dim), x.dtype),
+        interpret=interpret,
+    )(xf, w1, b1.reshape(1, -1), w2, b2.reshape(1, -1))
+    if pad:
+        out = out[:n]
+    return out.reshape(*lead, out_dim)

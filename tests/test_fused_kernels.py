@@ -1,0 +1,163 @@
+"""Differential tests for the round-2 inference fast paths.
+
+Each fast path must match its reference (unfused/unfolded) flax twin:
+
+- ``geglu_ff`` Pallas kernel (interpret mode on CPU) vs ``GEGLUFeedForward``
+- ``fused_self_attention_block`` (interpret mode) vs LN/mod + Attention +
+  residual composed from flax modules
+- ``fold_decode_tail`` decode vs the unfolded decode path (the fold is an
+  exact linear-algebra reassociation; measured MORE accurate than the
+  unfolded chain vs float64 — see docs/DESIGN.md)
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rald_tpu.models.vecset_vae import create_autoencoder
+from rald_tpu.nn.layers import Attention, GEGLUFeedForward
+from rald_tpu.ops.attn_kernel import fused_self_attention_block
+from rald_tpu.ops.geglu_kernel import geglu_ff
+
+
+def test_geglu_kernel_matches_flax():
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(rng, (2, 300, 128), jnp.float32)
+    ff = GEGLUFeedForward(dtype=jnp.float32)
+    params = ff.init(rng, x)["params"]
+    ref = ff.apply({"params": params}, x)
+    out = geglu_ff(
+        x,
+        params["proj_in"]["kernel"], params["proj_in"]["bias"],
+        params["proj_out"]["kernel"], params["proj_out"]["bias"],
+        block=128, interpret=True,
+    )
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5)
+
+
+def test_geglu_kernel_pads_ragged_tokens():
+    rng = jax.random.PRNGKey(1)
+    x = jax.random.normal(rng, (1, 37, 64), jnp.float32)
+    ff = GEGLUFeedForward(dtype=jnp.float32)
+    params = ff.init(rng, x)["params"]
+    ref = ff.apply({"params": params}, x)
+    out = geglu_ff(
+        x,
+        params["proj_in"]["kernel"], params["proj_in"]["bias"],
+        params["proj_out"]["kernel"], params["proj_out"]["bias"],
+        block=128, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5)
+
+
+def test_fused_ff_flag_in_module():
+    """GEGLUFeedForward(use_fused=True) matches the unfused module (interpret
+    has no module-level hook, so run the kernel path only on TPU)."""
+    if jax.default_backend() != "tpu":
+        pytest.skip("module-level fused FF path is TPU-only")
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(rng, (2, 256, 128), jnp.bfloat16)
+    ff = GEGLUFeedForward(dtype=jnp.bfloat16)
+    ff_fused = GEGLUFeedForward(use_fused=True, dtype=jnp.bfloat16)
+    params = ff.init(rng, x)["params"]
+    a = np.asarray(ff.apply({"params": params}, x), np.float32)
+    b = np.asarray(ff_fused.apply({"params": params}, x), np.float32)
+    np.testing.assert_allclose(a, b, atol=3e-2, rtol=3e-2)
+
+
+def test_fused_attention_block_matches_flax():
+    """LN(+AdaLN mod) + 8-head attention + out-proj + residual."""
+    rng = jax.random.PRNGKey(2)
+    b, n, d, heads = 2, 128, 128, 2
+    x = jax.random.normal(rng, (b, n, d), jnp.float32)
+    scale = jax.random.normal(jax.random.fold_in(rng, 1), (b, 1, d)) * 0.1
+    shift = jax.random.normal(jax.random.fold_in(rng, 2), (b, 1, d)) * 0.1
+
+    attn = Attention(heads=heads, dim_head=d // heads, fused_kv=False, dtype=jnp.float32)
+    params = attn.init(rng, x)["params"]
+
+    def ln(t):
+        m = jnp.mean(t, -1, keepdims=True)
+        v = jnp.mean(jnp.square(t), -1, keepdims=True) - jnp.square(m)
+        return (t - m) * jax.lax.rsqrt(v + 1e-5)
+
+    h = ln(x) * (1 + scale) + shift
+    ref = x + attn.apply({"params": params}, h)
+
+    out = fused_self_attention_block(
+        x, scale, shift,
+        params["to_q"]["kernel"], params["to_k"]["kernel"],
+        params["to_v"]["kernel"], params["to_out"]["kernel"],
+        params["to_out"]["bias"],
+        heads=heads, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5, rtol=3e-5)
+
+
+def test_fused_attention_block_plain_ln():
+    """scale_shift_mod=False: plain LayerNorm scale/bias (VAE block form)."""
+    rng = jax.random.PRNGKey(3)
+    b, n, d, heads = 1, 128, 128, 2
+    x = jax.random.normal(rng, (b, n, d), jnp.float32)
+    gamma = 1.0 + 0.1 * jax.random.normal(jax.random.fold_in(rng, 1), (d,))
+    beta = 0.1 * jax.random.normal(jax.random.fold_in(rng, 2), (d,))
+
+    attn = Attention(heads=heads, dim_head=d // heads, fused_kv=True, dtype=jnp.float32)
+    params = attn.init(rng, x)["params"]
+    kv = params["to_kv"]["kernel"]
+    wk, wv = jnp.split(kv, 2, axis=-1)
+
+    def ln(t):
+        m = jnp.mean(t, -1, keepdims=True)
+        v = jnp.mean(jnp.square(t), -1, keepdims=True) - jnp.square(m)
+        return (t - m) * jax.lax.rsqrt(v + 1e-5)
+
+    h = ln(x) * gamma + beta
+    ref = x + attn.apply({"params": params}, h)
+
+    out = fused_self_attention_block(
+        x, gamma[None, None], beta[None, None],
+        params["to_q"]["kernel"], wk, wv,
+        params["to_out"]["kernel"], params["to_out"]["bias"],
+        heads=heads, scale_shift_mod=False, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5, rtol=3e-5)
+
+
+def test_fold_decode_tail_matches_unfolded():
+    kw = dict(dim=512, M=128, latent_dim=8, N=256, query_type="learnable")
+    vae = create_autoencoder(**kw)
+    vae_fold = create_autoencoder(**kw, fold_decode_tail=True)
+    rng = jax.random.PRNGKey(0)
+    z = jax.random.normal(rng, (2, 128, 8))
+    q = jax.random.uniform(jax.random.fold_in(rng, 1), (2, 500, 3), minval=-1, maxval=1)
+    params = vae.init(
+        {"params": rng, "latent": jax.random.fold_in(rng, 2)},
+        jnp.zeros((2, 256, 3)), jnp.zeros((2, 8, 3)),
+    )["params"]
+    a = np.asarray(vae.apply({"params": params}, z, q, method="decode"))
+    b = np.asarray(vae_fold.apply({"params": params}, z, q, method="decode"))
+    # the two paths differ only by float reassociation of the linear tail
+    # (the folded path is the more accurate one vs float64)
+    assert np.corrcoef(a.ravel(), b.ravel())[0, 1] > 0.9999
+    np.testing.assert_allclose(a, b, atol=2e-2)
+    assert np.mean((a > 0) == (b > 0)) > 0.999
+
+
+def test_fold_decode_tail_exact_algebra():
+    """The fold is exact linear algebra: verify against a float64 numpy twin."""
+    rng = np.random.default_rng(0)
+    m, d = 64, 32
+    attn = rng.random((5, m)).astype(np.float64)
+    attn /= attn.sum(-1, keepdims=True)
+    v = rng.standard_normal((m, d))
+    wo = rng.standard_normal((d, d)) * 0.1
+    bo = rng.standard_normal(d) * 0.1
+    wh = rng.standard_normal((d, 1)) * 0.1
+    bh = rng.standard_normal(1) * 0.1
+    unfolded = (attn @ v @ wo + bo) @ wh + bh
+    folded = attn @ (v @ (wo @ wh)) + (bo @ wh + bh)
+    np.testing.assert_allclose(unfolded, folded, rtol=1e-12)
