@@ -67,6 +67,17 @@ class AEEngine:
         if overrides:
             self.model = self.model.copy(**overrides)
 
+        # eval-only fast paths (system.fast_inference, default on): folded
+        # decode tail everywhere, Pallas fused GEGLU FF on TPU (no autodiff
+        # rule — the train step keeps the unfused modules). Same param tree.
+        fast = bool(cfg.system.get("fast_inference", True))
+        on_tpu = jax.default_backend() == "tpu"
+        self.model_eval = (
+            self.model.copy(fold_decode_tail=True, use_fused_ff=on_tpu)
+            if fast
+            else self.model
+        )
+
         t = cfg.train
         self.vol_weight = float(t.get("vol_weight", 0.1))
         self.near_weight = float(t.get("near_weight", 1.0))
@@ -115,9 +126,10 @@ class AEEngine:
         return sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(state.params))
 
     # ------------------------------------------------------------- train step
-    def _loss_and_metrics(self, params, batch, rng, deterministic):
+    def _loss_and_metrics(self, params, batch, rng, deterministic, model=None):
+        model = self.model if model is None else model
         rngs = {"latent": jax.random.fold_in(rng, 0), "dropout": jax.random.fold_in(rng, 1)}
-        out = self.model.apply(
+        out = model.apply(
             {"params": params},
             batch["lidar_points"],
             batch["query_points"],
@@ -150,18 +162,22 @@ class AEEngine:
         return state, metrics
 
     def _eval_step_impl(self, params, batch, rng):
-        _, metrics = self._loss_and_metrics(params, batch, rng, deterministic=True)
+        _, metrics = self._loss_and_metrics(
+            params, batch, rng, deterministic=True, model=self.model_eval
+        )
         return metrics
 
     def _eval_fused_impl(self, params, batch, grid, rng):
-        _, metrics = self._loss_and_metrics(params, batch, rng, deterministic=True)
+        _, metrics = self._loss_and_metrics(
+            params, batch, rng, deterministic=True, model=self.model_eval
+        )
         grid_logits = self._forward_logits_impl(
             params, batch["lidar_points"], grid, jax.random.fold_in(rng, 5)
         )
         return metrics, grid_logits
 
     def _forward_logits_impl(self, params, surface, queries, rng):
-        out = self.model.apply(
+        out = self.model_eval.apply(
             {"params": params}, surface, queries, rngs={"latent": rng}, deterministic=True
         )
         return out["logits"]

@@ -84,6 +84,17 @@ class GenerationEngine:
             self.vae = self.vae.copy(**vae_overrides)
         self.latent_std = float(cfg.lidar_ae.get("latent_std", 1.0))
 
+        # eval-only fast paths (system.fast_inference, default on): the folded
+        # decode tail everywhere, the Pallas fused GEGLU FF on TPU only
+        # (inference-only kernel, no autodiff rule — training keeps the
+        # unfused modules). Same parameter trees; measured in docs/DESIGN.md.
+        fast = bool(cfg.system.get("fast_inference", True))
+        on_tpu = jax.default_backend() == "tpu"
+        self.model_eval = (
+            self.model.copy(use_fused_ff=True) if (fast and on_tpu) else self.model
+        )
+        self.vae_eval = self.vae.copy(fold_decode_tail=True) if fast else self.vae
+
         radar = cfg.dataset.get("radar", {})
         # on-device bilinear upsample of the conditioning cube: ship the raw
         # (R, A, E, C) cube (32x smaller) and resize inside the jitted step
@@ -245,30 +256,28 @@ class GenerationEngine:
 
         Condition tokens are processed ONCE here, then reused for all NFEs.
         """
+        model = self.model_eval
         cond = None
         if radar_cube is not None:
             if not self.frozen_radar_enc:
                 radar_cube = self._maybe_upsample(radar_cube)
-            cond = self.model.apply({"params": params}, radar_cube, method="process_radar_cond")
-        latents = sample_prior_latents(seeds, self.model.n_latents, self.model.channels)
+            cond = model.apply({"params": params}, radar_cube, method="process_radar_cond")
+        latents = sample_prior_latents(seeds, model.n_latents, model.channels)
 
-        if self.sampler_kwargs.get("s_churn", 0) > 0 or latents.shape[0] > 1:
-            # churn perturbs sigma off the schedule; and at batch > 1 the
-            # tiny AdaLN gemms already overlap other work (measured neutral)
+        if self.sampler_kwargs.get("s_churn", 0) > 0:
+            # churn perturbs sigma off the schedule — mod tables don't apply
             def denoise(x, sigma):
-                return self.model.apply({"params": params}, x, sigma, cond, method="denoise")
+                return model.apply({"params": params}, x, sigma, cond, method="denoise")
 
-            noise_keys = None
-            if self.sampler_kwargs.get("s_churn", 0) > 0:
-                from rald_tpu.diffusion.edm import per_sample_keys
+            from rald_tpu.diffusion.edm import per_sample_keys
 
-                noise_keys = per_sample_keys(seeds)
+            noise_keys = per_sample_keys(seeds)
             return edm_sampler(denoise, latents, noise_keys=noise_keys, **self.sampler_kwargs)
 
-        # churn-free batch-1 (the reference eval mode, eval_batch_size 1):
-        # sigmas stay on the schedule, so every AdaLN modulation is
-        # precomputable — one batched projection pass instead of 3*depth tiny
-        # gemms inside each of the 35 NFEs (measured ~8% faster per frame)
+        # churn-free: sigmas stay on the schedule, so every AdaLN modulation
+        # is precomputable — one batched projection pass instead of 3*depth
+        # tiny gemms inside each of the 35 NFEs (measured ~8% per frame at
+        # batch 1 and -2% at batch 8, round-2 probe)
         from rald_tpu.diffusion.edm import karras_sigmas
 
         t_steps = karras_sigmas(
@@ -277,13 +286,13 @@ class GenerationEngine:
             self.sampler_kwargs["sigma_max"],
             self.sampler_kwargs["rho"],
         )
-        mod_table = self.model.apply(
+        mod_table = model.apply(
             {"params": params}, t_steps[:-1], method="compute_mod_table"
         )
 
         def denoise_indexed(x, sigma, idx):
             mods = jax.tree_util.tree_map(lambda a: a[idx], mod_table)
-            return self.model.apply(
+            return model.apply(
                 {"params": params}, x, sigma, mods, cond, method="denoise_with_mods"
             )
 
@@ -292,7 +301,7 @@ class GenerationEngine:
         )
 
     def _decode_impl(self, vae_params, tokens, queries):
-        out = self.vae.apply({"params": vae_params}, tokens, queries, method="decode")
+        out = self.vae_eval.apply({"params": vae_params}, tokens, queries, method="decode")
         return jnp.squeeze(out, -1)
 
     def _sample_and_decode_impl(self, params, vae_params, radar_cube, seeds, q_eval, q_grid):
