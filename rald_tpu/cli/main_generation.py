@@ -27,6 +27,16 @@ def build_loaders(cfg, info, mode: str):
     import copy
 
     ds_cfg = cfg.dataset
+    # the reference wires cached-latent training via YAML anchors that tie
+    # train.use_cache_latent to dataset-level cache keys; when the dataset
+    # keys are absent, derive them from the lidar_ae cache fields (the exact
+    # layout main_cache writes: cache_path / name / cache_name)
+    if bool(cfg.train.get("use_cache_latent", False)) and not ds_cfg.get("use_cache_latent"):
+        ds_cfg.use_cache_latent = True
+        ds_cfg.cache_latent_base_dir = str(cfg.lidar_ae.cache_path)
+        ds_cfg.cache_latent_sub_dir = f"{cfg.lidar_ae.name}/{cfg.lidar_ae.cache_name}"
+        print(f"use_cache_latent: auto-wired dataset cache dir "
+              f"{ds_cfg.cache_latent_base_dir}/{ds_cfg.cache_latent_sub_dir}")
     seed = int(cfg.system.get("seed", 0))
     world_batch = int(ds_cfg.batch_size) * jax.local_device_count()
     train_loader = None

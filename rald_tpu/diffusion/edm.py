@@ -59,6 +59,29 @@ def sample_prior_latents(seeds: jax.Array, n_latents: int, channels: int) -> jax
     return jax.vmap(lambda k: jax.random.normal(k, (n_latents, channels)))(keys)
 
 
+def stack_mod_table(table):
+    """Stack a ``compute_mod_table`` pytree into one (S, depth, 3, 2, 1, C) array.
+
+    The table has 2*3*depth small leaves; indexing it per NFE with a
+    ``tree_map`` costs one dynamic-slice op per leaf (144 at depth 24) inside
+    the sampler scan. Stacked, the per-NFE lookup is ONE dynamic slice and the
+    per-block unpack is static indexing (free at compile time).
+    """
+    rows = []
+    for block in table:  # tuple over depth
+        rows.append(jnp.stack([jnp.stack(pair) for pair in block]))  # (3, 2, S, 1, C)
+    stacked = jnp.stack(rows)  # (depth, 3, 2, S, 1, C)
+    return jnp.moveaxis(stacked, 3, 0)  # (S, depth, 3, 2, 1, C)
+
+
+def unstack_mods(sl: jax.Array):
+    """(depth, 3, 2, 1, C) schedule-step slice -> ``compute_mod_table``-shaped mods."""
+    return tuple(
+        ((sl[i, 0, 0], sl[i, 0, 1]), (sl[i, 1, 0], sl[i, 1, 1]), (sl[i, 2, 0], sl[i, 2, 1]))
+        for i in range(sl.shape[0])
+    )
+
+
 def edm_sampler(
     denoise_fn: DenoiseFn,
     latents: jax.Array,

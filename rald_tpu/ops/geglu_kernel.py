@@ -66,7 +66,7 @@ def geglu_ff(
     b1: jax.Array,
     w2: jax.Array,
     b2: jax.Array,
-    block: int = 256,
+    block: int = 512,
     interpret: bool = False,
 ) -> jax.Array:
     """``(proj_in -> GEGLU -> proj_out)(x)`` fused in VMEM.
