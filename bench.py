@@ -57,7 +57,9 @@ def cast_bf16(tree):
 def build():
     from rald_tpu.config import Config
     from rald_tpu.models.registry import get_ae_model, get_generation_model
-    from rald_tpu.diffusion.edm import edm_sampler, karras_sigmas, sample_prior_latents
+    from rald_tpu.diffusion.edm import (
+        edm_sampler, karras_sigmas, sample_prior_latents, stack_mod_table, unstack_mods,
+    )
 
     on_tpu = jax.default_backend() == "tpu"
     dtype = jnp.bfloat16
@@ -93,10 +95,12 @@ def build():
         # the Heun schedule's sigmas are fixed: precompute every block's
         # AdaLN modulations once and index by schedule step inside the scan
         t_steps = karras_sigmas(18)
-        table = model.apply({"params": params}, t_steps[:-1], method="compute_mod_table")
+        table = stack_mod_table(
+            model.apply({"params": params}, t_steps[:-1], method="compute_mod_table")
+        )
 
         def denoise_indexed(x, sigma, idx):
-            mods = jax.tree_util.tree_map(lambda a: a[idx], table)
+            mods = unstack_mods(table[idx])
             return model.apply(
                 {"params": params}, x, sigma, mods, cond, method="denoise_with_mods"
             )

@@ -286,12 +286,15 @@ class GenerationEngine:
             self.sampler_kwargs["sigma_max"],
             self.sampler_kwargs["rho"],
         )
-        mod_table = model.apply(
+        from rald_tpu.diffusion.edm import stack_mod_table, unstack_mods
+
+        mod_table = stack_mod_table(model.apply(
             {"params": params}, t_steps[:-1], method="compute_mod_table"
-        )
+        ))
 
         def denoise_indexed(x, sigma, idx):
-            mods = jax.tree_util.tree_map(lambda a: a[idx], mod_table)
+            # one dynamic slice per NFE on the stacked table (vs one per leaf)
+            mods = unstack_mods(mod_table[idx])
             return model.apply(
                 {"params": params}, x, sigma, mods, cond, method="denoise_with_mods"
             )
