@@ -43,7 +43,6 @@ Dtype = jnp.dtype
 class LatentDiTBlock(nn.Module):
     n_heads: int = 8
     d_head: int = 64
-    use_flash: bool = False
     use_fused_ff: bool = False
     use_fused_attn: bool = False
     dtype: Dtype = jnp.float32
@@ -51,11 +50,8 @@ class LatentDiTBlock(nn.Module):
     def setup(self):
         inner = self.n_heads * self.d_head
         self.norm1 = AdaLayerNorm(dim=inner, dtype=self.dtype)
-        # flash only on the 512-token self-attn; the cross-attn's 64-token KV
-        # is below the kernel's 128-lane block and stays on the einsum path
         self.attn1 = Attention(
-            heads=self.n_heads, dim_head=self.d_head, fused_kv=False,
-            use_flash=self.use_flash, dtype=self.dtype,
+            heads=self.n_heads, dim_head=self.d_head, fused_kv=False, dtype=self.dtype,
         )
         self.norm2 = AdaLayerNorm(dim=inner, dtype=self.dtype)
         self.attn2 = Attention(heads=self.n_heads, dim_head=self.d_head, fused_kv=False, dtype=self.dtype)
@@ -111,7 +107,6 @@ class LatentArrayTransformer(nn.Module):
     d_head: int = 64
     depth: int = 12
     out_channels: Optional[int] = None
-    use_flash: bool = False
     use_fused_ff: bool = False
     use_fused_attn: bool = False
     dtype: Dtype = jnp.float32
@@ -125,7 +120,7 @@ class LatentArrayTransformer(nn.Module):
         self.proj_in = nn.Dense(inner, use_bias=False, dtype=self.dtype)
         self.blocks = [
             LatentDiTBlock(
-                n_heads=self.n_heads, d_head=self.d_head, use_flash=self.use_flash,
+                n_heads=self.n_heads, d_head=self.d_head,
                 use_fused_ff=self.use_fused_ff, use_fused_attn=self.use_fused_attn,
                 dtype=self.dtype, name=f"block_{i}"
             )
@@ -192,7 +187,6 @@ class EDMPrecond(nn.Module):
     enc_radar_dims: tuple = (8, 4, 2)  # (R', A', E') after the 3D-CNN encoder
     enc_radar_ch: int = 16
     enc_hidden_ch: int = 64
-    use_flash: bool = False
     use_fused_ff: bool = False
     use_fused_attn: bool = False
     dtype: Dtype = jnp.float32
@@ -204,7 +198,6 @@ class EDMPrecond(nn.Module):
             n_heads=self.n_heads,
             d_head=self.d_head,
             depth=self.depth,
-            use_flash=self.use_flash,
             use_fused_ff=self.use_fused_ff,
             use_fused_attn=self.use_fused_attn,
             dtype=self.dtype,

@@ -55,20 +55,19 @@ def get_ae_model(
     name: str,
     N: int = 2048,
     dtype: Dtype = jnp.float32,
-    use_flash: bool = False,
     use_fused_ff: bool = False,
     fold_decode_tail: bool = False,
     use_fused_decode: bool = False,
 ) -> VecSetVAE:
     kw = dict(AE_VARIANTS[name])
     return create_autoencoder(
-        N=N, dtype=dtype, use_flash=use_flash, use_fused_ff=use_fused_ff,
+        N=N, dtype=dtype, use_fused_ff=use_fused_ff,
         fold_decode_tail=fold_decode_tail, use_fused_decode=use_fused_decode, **kw
     )
 
 
 def get_generation_model(
-    name: str, configs, dtype: Dtype = jnp.float32, use_flash: bool = False,
+    name: str, configs, dtype: Dtype = jnp.float32,
     use_fused_ff: bool = False, use_fused_attn: bool = False,
 ) -> EDMPrecond:
     """Build an EDM model from an ``ar_model.configs`` block (reference yml surface)."""
@@ -93,7 +92,6 @@ def get_generation_model(
         ),
         enc_radar_ch=configs.get("enc_radar_ch", 16),
         enc_hidden_ch=configs.get("enc_hidden_ch", 64),
-        use_flash=use_flash,
         use_fused_ff=use_fused_ff,
         use_fused_attn=use_fused_attn,
         dtype=dtype,

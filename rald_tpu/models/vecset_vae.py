@@ -48,7 +48,6 @@ class SelfAttnBlock(nn.Module):
     heads: int = 8
     dim_head: int = 64
     drop_path_rate: float = 0.1
-    use_flash: bool = False
     use_fused_ff: bool = False
     dtype: Dtype = jnp.float32
 
@@ -59,7 +58,6 @@ class SelfAttnBlock(nn.Module):
             heads=self.heads,
             dim_head=self.dim_head,
             drop_path_rate=self.drop_path_rate,
-            use_flash=self.use_flash,
             dtype=self.dtype,
             name="attn",
         )(h, deterministic=deterministic)
@@ -84,7 +82,6 @@ class VecSetVAE(nn.Module):
     query_type: str = "mix"  # 'point' | 'learnable' | 'mix'
     deterministic_latent: bool = False  # reference AutoEncoder (models_ae.py:181)
     query_chunk: int = 65536
-    use_flash: bool = False  # Pallas flash attention in the self-attn stack (TPU only)
     use_fused_ff: bool = False  # Pallas fused GEGLU FF in the self-attn stack (TPU inference)
     fold_decode_tail: bool = False  # fold values/out-proj/occupancy head (inference)
     use_fused_decode: bool = False  # Pallas fused folded-decode kernel (TPU inference)
@@ -122,7 +119,7 @@ class VecSetVAE(nn.Module):
 
         self.blocks = [
             SelfAttnBlock(
-                heads=self.heads, dim_head=self.dim_head, use_flash=self.use_flash,
+                heads=self.heads, dim_head=self.dim_head,
                 use_fused_ff=self.use_fused_ff, dtype=self.dtype, name=f"block_{i}"
             )
             for i in range(self.depth)
@@ -304,7 +301,6 @@ def create_autoencoder(
     N: int = 2048,
     deterministic: bool = False,
     query_type: str = "point",
-    use_flash: bool = False,
     use_fused_ff: bool = False,
     fold_decode_tail: bool = False,
     use_fused_decode: bool = False,
@@ -323,7 +319,6 @@ def create_autoencoder(
         dim_head=64,
         query_type=query_type,
         deterministic_latent=deterministic,
-        use_flash=use_flash,
         use_fused_ff=use_fused_ff,
         fold_decode_tail=fold_decode_tail,
         use_fused_decode=use_fused_decode,

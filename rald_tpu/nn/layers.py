@@ -79,23 +79,6 @@ class DropPath(nn.Module):
         return jnp.where(mask, x / keep, jnp.zeros_like(x))
 
 
-def _flash_attention(q: jax.Array, k: jax.Array, v: jax.Array, scale: float) -> jax.Array:
-    """Pallas TPU flash attention over (B, N, H, D) tensors.
-
-    Never materializes the (B, H, N, N) score tensor in HBM — the XLA einsum
-    path writes + re-reads it (f32) around the softmax, which is the dominant
-    activation traffic of the 512-token attention stacks (DiT sampler, VAE
-    decoder). TPU-only; callers gate via ``Attention.use_flash``.
-    """
-    from jax.experimental.pallas.ops.tpu.flash_attention import flash_attention
-
-    def bhnd(t):
-        return t.transpose(0, 2, 1, 3)
-
-    out = flash_attention(bhnd(q), bhnd(k), bhnd(v), sm_scale=scale, causal=False)
-    return bhnd(out)
-
-
 class Attention(nn.Module):
     """Multi-head softmax attention with optional cross-attention context.
 
@@ -104,10 +87,9 @@ class Attention(nn.Module):
     (models_radar_generation.py:47-48). Math is identical; layout matters only
     for checkpoint conversion.
 
-    ``use_flash`` switches eligible shapes (unmasked, 128-aligned sequence
-    lengths) to the Pallas TPU flash-attention kernel. It is a TPU-only
-    execution detail with identical math (softmax statistics in f32); keep it
-    off on CPU test meshes.
+    (The stock Pallas flash-attention kernel was measured 1.85x SLOWER than
+    this einsum path at the 512-token shapes — docs/DESIGN.md round 2 — so
+    there is deliberately no flash option here.)
     """
 
     heads: int = 8
@@ -115,7 +97,6 @@ class Attention(nn.Module):
     out_dim: Optional[int] = None
     fused_kv: bool = True
     drop_path_rate: float = 0.0
-    use_flash: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -143,20 +124,11 @@ class Attention(nn.Module):
 
         q, k, v = map(split_heads, (q, k, v))
         scale = self.dim_head**-0.5
-        if (
-            self.use_flash
-            and mask is None
-            and q.ndim == 4
-            and q.shape[1] % 128 == 0
-            and k.shape[1] % 128 == 0
-        ):
-            out = _flash_attention(q, k, v, scale)
-        else:
-            sim = jnp.einsum("...qhd,...khd->...hqk", q, k) * scale
-            if mask is not None:
-                sim = jnp.where(mask != 0, jnp.finfo(sim.dtype).min, sim)
-            attn = jax.nn.softmax(sim.astype(jnp.float32), axis=-1).astype(self.dtype)
-            out = jnp.einsum("...hqk,...khd->...qhd", attn, v)
+        sim = jnp.einsum("...qhd,...khd->...hqk", q, k) * scale
+        if mask is not None:
+            sim = jnp.where(mask != 0, jnp.finfo(sim.dtype).min, sim)
+        attn = jax.nn.softmax(sim.astype(jnp.float32), axis=-1).astype(self.dtype)
+        out = jnp.einsum("...hqk,...khd->...qhd", attn, v)
         out = out.reshape(*out.shape[:-2], inner)
         out = nn.Dense(out_dim, dtype=self.dtype, name="to_out")(out)
         return DropPath(self.drop_path_rate, name="drop_path")(out, deterministic)
