@@ -7,15 +7,29 @@ Measures the reference's product path (BASELINE.md: "point clouds/sec/chip
   sampling of 512x32 latent tokens (depth-24 dim-512 DiT, cond tokens
   computed once) -> streamed decode of 500k occupancy queries -> threshold.
 
-The whole chain is ONE jitted program per batch size; we report the best
-per-frame throughput over batch sizes {1, 8, 16, 32} (the reference evaluates
+The whole chain is ONE jitted program per batch size (the reference evaluates
 at batch 1, engine_generation.py eval_batch_size; batching is free capability
-on TPU), measured steady-state with 4 batches in flight (throughput metric —
-dispatch latency overlaps device compute). Sampler-only steps/sec is logged
-to stderr for the BASELINE.md "DDIM steps/sec" axis.
+on TPU). Throughput is measured steady-state with 4 batches in flight
+(dispatch latency overlaps device compute); the single-dispatch latency
+(pipeline=1) is also logged to stderr so round-over-round comparisons can
+separate methodology from real speedups.
 
-Round-2 optimizations (measured in scripts/perf_probe*.py, docs/DESIGN.md):
-  - params pre-cast to bf16 (decode -17%: halves weight HBM re-reads)
+Robustness to the driver's wall-clock budget (round-2 lesson: BENCH_r02 was
+timeout-killed before its single end-of-run JSON print):
+  - the known-best batch size is measured FIRST;
+  - the JSON result line is printed immediately after the first successful
+    measurement and RE-printed (updated best) after each further batch size —
+    the driver parses the last line, so a timeout can never erase the result;
+  - remaining batch sizes and the secondary sampler-only metric are skipped
+    once a self-imposed elapsed-time guard trips;
+  - compiles hit the persistent XLA cache (~/.cache/rald_tpu/xla), primed by
+    running this script once at the end of each round.
+
+Round-2/3 optimizations (measured in scripts/perf_probe*.py, docs/DESIGN.md):
+  - params pre-cast to bf16 (decode -17%: halves weight HBM re-reads).
+    The product eval path applies the same cast when
+    ``eval.cast_params_bf16`` is set (gen_engine), so this lever is not
+    bench-only.
   - folded decode tail (decode -25%: values/out-proj/occupancy head collapse
     into a (M,1) folded value vector -> one matvec per query chunk)
   - Pallas fused GEGLU FF in the DiT blocks (sampler -15%: the (tokens,
@@ -28,9 +42,11 @@ FLOP-model estimate of the reference implementation on its target GPU
 (A100-class): ~5.4 TFLOP/frame (35 NFEs x ~135 GFLOP DiT forward + ~0.9
 TFLOP 500k-query decode) at ~30% bf16 utilization of 312 TFLOPs ~= 17 ms
 compute but torch eager at batch 1 observed-style ~5.5 frames/s. Ratio > 1
-means faster than that estimate.
+means faster than that estimate; it is NOT a measured win over the
+reference on its own hardware.
 
-Prints exactly one JSON line on stdout.
+Prints one JSON line per completed batch size on stdout; the last line is
+the final (best) result.
 """
 from __future__ import annotations
 
@@ -43,9 +59,29 @@ import jax.numpy as jnp
 
 REFERENCE_GPU_PC_PER_SEC_EST = 5.5  # frames/s, documented estimate (see docstring)
 
+# Measured-best first (round 2: batch 16 -> 22.94 pc/s); the rest refine.
+BATCH_ORDER = (16, 24, 8, 32, 1)
+# Stop starting new work past this point; the driver kills us at ~15-18 min.
+WALL_GUARD_S = 480.0
+
+T_START = time.perf_counter()
+
+
+def elapsed():
+    return time.perf_counter() - T_START
+
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
+
+
+def emit(best_pc_per_sec):
+    print(json.dumps({
+        "metric": "point_clouds_per_sec_per_chip",
+        "value": round(best_pc_per_sec, 3),
+        "unit": "pc/s (spectrum->500k-query point cloud, 35-NFE EDM)",
+        "vs_baseline": round(best_pc_per_sec / REFERENCE_GPU_PC_PER_SEC_EST, 3),
+    }), flush=True)
 
 
 def cast_bf16(tree):
@@ -110,7 +146,7 @@ def build():
         return jnp.squeeze(logits, -1) > 0
 
     fn = jax.jit(spectrum_to_pc)
-    return fn, params, vae_params, num_queries
+    return fn, model, params, vae_params, num_queries
 
 
 def _sync(out):
@@ -129,6 +165,10 @@ def bench_batch(fn, params, vae_params, num_queries, batch, iters=3, pipeline=4)
     )
     seeds = jnp.arange(batch)
     _sync(fn(params, vae_params, cube, queries, seeds))  # compile + warmup
+    # single-dispatch latency (pre-round-2 methodology), for comparability
+    t0 = time.perf_counter()
+    _sync(fn(params, vae_params, cube, queries, seeds))
+    lat = time.perf_counter() - t0
     times = []
     for _ in range(iters):
         t0 = time.perf_counter()
@@ -138,7 +178,30 @@ def bench_batch(fn, params, vae_params, num_queries, batch, iters=3, pipeline=4)
         _sync(out)
         times.append((time.perf_counter() - t0) / pipeline)
     dt = min(times)
-    return batch / dt, dt
+    return batch / dt, dt, lat
+
+
+def bench_sampler_only(model, params):
+    """Secondary metric (stderr only): batched Heun NFEs/s, reusing the
+    chain's model and params (no second model build)."""
+    import numpy as np
+
+    from rald_tpu.diffusion.edm import edm_sampler, sample_prior_latents
+
+    rng = jax.random.PRNGKey(0)
+    cond = model.apply({"params": params},
+                       jax.random.normal(rng, (8, 128, 64, 32, 3)),
+                       method="process_radar_cond")
+    samp = jax.jit(lambda p, c, s: edm_sampler(
+        lambda x, sg: model.apply({"params": p}, x, sg, c, method="denoise"),
+        sample_prior_latents(s, model.n_latents, model.channels)))
+    seeds = jnp.arange(8)
+    np.asarray(samp(params, cond, seeds)[:1, :1, :1])
+    t0 = time.perf_counter()
+    np.asarray(samp(params, cond, seeds)[:1, :1, :1])
+    dt = time.perf_counter() - t0
+    log(f"sampler: {35 / dt:.1f} batched Heun NFEs/s at batch 8 "
+        f"({8 * 35 / dt:.0f} sample-NFEs/s)")
 
 
 def main():
@@ -147,54 +210,34 @@ def main():
     enable_compilation_cache()
     dev = jax.devices()[0]
     log(f"device: {dev}")
-    fn, params, vae_params, num_queries = build()
-
-    # secondary metric: sampler steps/sec (BASELINE.md "DDIM steps/sec")
-    try:
-        from rald_tpu.config import Config
-        from rald_tpu.models.registry import get_generation_model
-        from rald_tpu.diffusion.edm import edm_sampler, sample_prior_latents
-        import numpy as np
-
-        on_tpu = jax.default_backend() == "tpu"
-        mc = Config(cond_type="radar", use_radar_cond=True, use_radar_enc=True,
-                    unfreeze_radar_enc=True, radar_token_channel=512,
-                    enc_radar_r_dim=8, enc_radar_a_dim=4, enc_radar_e_dim=2,
-                    enc_radar_ch=16, enc_hidden_ch=64)
-        model = get_generation_model("kl_d512_m512_l32_d24_edm", mc,
-                                     dtype=jnp.bfloat16, use_fused_ff=on_tpu)
-        rng = jax.random.PRNGKey(0)
-        p2 = cast_bf16(model.init(rng, jnp.zeros((1, 512, 32)), jnp.ones((1,)),
-                                  jnp.zeros((1, 128, 64, 32, 3)))["params"])
-        cond = model.apply({"params": p2}, jax.random.normal(rng, (8, 128, 64, 32, 3)),
-                           method="process_radar_cond")
-        samp = jax.jit(lambda p, c, s: edm_sampler(
-            lambda x, sg: model.apply({"params": p}, x, sg, c, method="denoise"),
-            sample_prior_latents(s, 512, 32)))
-        seeds = jnp.arange(8)
-        np.asarray(samp(p2, cond, seeds)[:1, :1, :1])
-        t0 = time.perf_counter()
-        np.asarray(samp(p2, cond, seeds)[:1, :1, :1])
-        dt = time.perf_counter() - t0
-        log(f"sampler: {35 / dt:.1f} batched Heun NFEs/s at batch 8 "
-            f"({8 * 35 / dt:.0f} sample-NFEs/s)")
-    except Exception as e:
-        log(f"sampler-only metric failed: {e}")
+    fn, model, params, vae_params, num_queries = build()
+    log(f"build done at {elapsed():.0f}s")
 
     best = 0.0
-    for batch in (1, 8, 16, 32):
+    for batch in BATCH_ORDER:
+        if best > 0 and elapsed() > WALL_GUARD_S:
+            log(f"wall guard ({elapsed():.0f}s > {WALL_GUARD_S:.0f}s): "
+                f"skipping batch {batch} and beyond")
+            break
         try:
-            pc_per_sec, dt = bench_batch(fn, params, vae_params, num_queries, batch)
-            log(f"batch {batch}: {dt*1000:.1f} ms/batch -> {pc_per_sec:.2f} pc/s")
-            best = max(best, pc_per_sec)
+            pc_per_sec, dt, lat = bench_batch(fn, params, vae_params, num_queries, batch)
+            log(f"batch {batch}: {dt*1000:.1f} ms/batch steady-state "
+                f"({lat*1000:.1f} ms single-dispatch) -> {pc_per_sec:.2f} pc/s "
+                f"[t={elapsed():.0f}s]")
+            if pc_per_sec > best:
+                best = pc_per_sec
+            emit(best)
         except Exception as e:  # OOM at large batch should not kill the bench
             log(f"batch {batch} failed: {e}")
-    print(json.dumps({
-        "metric": "point_clouds_per_sec_per_chip",
-        "value": round(best, 3),
-        "unit": "pc/s (spectrum->500k-query point cloud, 35-NFE EDM)",
-        "vs_baseline": round(best / REFERENCE_GPU_PC_PER_SEC_EST, 3),
-    }))
+
+    if best > 0 and elapsed() <= WALL_GUARD_S:
+        try:
+            bench_sampler_only(model, params)
+        except Exception as e:
+            log(f"sampler-only metric failed: {e}")
+
+    if best > 0:
+        emit(best)
 
 
 if __name__ == "__main__":

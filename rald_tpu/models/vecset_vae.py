@@ -84,7 +84,6 @@ class VecSetVAE(nn.Module):
     query_chunk: int = 65536
     use_fused_ff: bool = False  # Pallas fused GEGLU FF in the self-attn stack (TPU inference)
     fold_decode_tail: bool = False  # fold values/out-proj/occupancy head (inference)
-    use_fused_decode: bool = False  # Pallas fused folded-decode kernel (TPU inference)
     dtype: Dtype = jnp.float32
 
     def setup(self):
@@ -247,23 +246,6 @@ class VecSetVAE(nn.Module):
         v = ctx @ wv.astype(self.dtype)
         v_fold = v.astype(jnp.float32) @ w_tail  # (B, M, 1)
 
-        if self.use_fused_decode:
-            # whole per-query chain (point-embed -> LN -> q-proj -> scores ->
-            # softmax -> folded matvec) in one VMEM-resident Pallas kernel;
-            # the head bias folds into the values (softmax rows sum to 1)
-            from rald_tpu.nn.layers import point_fourier_basis
-            from rald_tpu.ops.fold_decode_kernel import fused_fold_decode
-
-            pe = p["point_embed"]["mlp"]
-            ln = p["dec_norm_q"]
-            logits = fused_fold_decode(
-                queries,
-                jnp.asarray(point_fourier_basis(self.point_embed.hidden_dim)),
-                pe["kernel"], pe["bias"], ln["scale"], ln["bias"], wq,
-                k, v_fold[..., 0] + bias,
-            )
-            return logits[..., None]
-
         scale = float(self.queries_dim) ** -0.5
 
         def tail(q_blk: jax.Array) -> jax.Array:
@@ -303,7 +285,6 @@ def create_autoencoder(
     query_type: str = "point",
     use_fused_ff: bool = False,
     fold_decode_tail: bool = False,
-    use_fused_decode: bool = False,
     dtype: Dtype = jnp.float32,
 ) -> VecSetVAE:
     """Factory matching reference ``create_autoencoder`` (models_ae.py:434-459)."""
@@ -321,6 +302,5 @@ def create_autoencoder(
         deterministic_latent=deterministic,
         use_fused_ff=use_fused_ff,
         fold_decode_tail=fold_decode_tail,
-        use_fused_decode=use_fused_decode,
         dtype=dtype,
     )

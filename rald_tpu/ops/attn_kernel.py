@@ -15,9 +15,14 @@ VMEM-resident across the grid via constant index maps), computes LN(+mod),
 q/k/v, all 8 heads' attention (f32 softmax), the out-projection and the
 residual add, and writes only the (512, 512) result.
 
-Used by the sampler's 35-NFE scan and the VAE decoder stack; inference-only
-(no autodiff rule). The reference computes the same math as separate torch
-ops (models_radar_generation.py:133-169, models_ae.py:412-414).
+Status: kept in-tree but DEFAULT-OFF — no engine or config sets
+``use_fused_attn``; measured NEUTRAL vs XLA's fusion at these shapes
+(docs/DESIGN.md "dead ends": XLA attention is already near its HBM floor
+here), exercised by scripts/perf_probe3.py and tests/test_fused_kernels.py
+only. Inference-only (no autodiff rule). AdaLN ``mod`` inputs must be
+(B, 1, D)-broadcastable — validated in the wrapper below. The reference
+computes the same math as separate torch ops
+(models_radar_generation.py:133-169, models_ae.py:412-414).
 """
 from __future__ import annotations
 
@@ -94,6 +99,13 @@ def fused_self_attention_block(
     (D, D); bo: (D,). N and D must be 128-aligned; D == heads * head_dim.
     """
     b, n, d = x.shape
+    for name, a in (("scale", scale), ("shift", shift)):
+        if a.ndim >= 2 and a.shape[-2] not in (1,):
+            raise ValueError(
+                f"fused_self_attention_block: {name} must be (B, 1, D)-"
+                f"broadcastable (one modulation row per batch element), got "
+                f"{a.shape} — per-token modulations are not supported"
+            )
     scale = jnp.broadcast_to(scale.astype(x.dtype), (b, 1, d)).reshape(b, 1, d)
     shift = jnp.broadcast_to(shift.astype(x.dtype), (b, 1, d)).reshape(b, 1, d)
     wq, wk, wv, wo, bo = (a.astype(x.dtype) for a in (wq, wk, wv, wo, bo))

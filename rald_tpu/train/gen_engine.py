@@ -409,6 +409,18 @@ class GenerationEngine:
             params = state_or_params
         print_fn(f"Using {'EMA' if use_ema else 'model'} parameters for evaluation")
         ev = cfg.get("eval", {})
+        if bool(ev.get("cast_params_bf16", False)):
+            # inference-only bf16 weights (halves weight HBM re-reads; decode
+            # -17% measured, docs/DESIGN.md). Default off: f32 params + bf16
+            # compute is the parity-tested configuration.
+            cast = lambda t: jax.tree_util.tree_map(
+                lambda a: a.astype(jnp.bfloat16)
+                if a.dtype == jnp.float32 else a, t
+            )
+            params = cast(params)
+            vae_params = cast(vae_params)
+            if radar_enc_params is not None:
+                radar_enc_params = cast(radar_enc_params)
         inference = ev.get("inference", {})
         eval_freq = int(ev.get("freq", 1) or 1)
         iou_test_only = bool(ev.get("iou_test_only", False))
