@@ -40,7 +40,7 @@ def spark(values, lo=None, hi=None, invert=False):
 def main():
     s1, s2 = rows(sys.argv[1]), rows(sys.argv[2])
 
-    print("# CURVES — full-stack convergence on the synthetic dataset (round 2)")
+    print("# CURVES — full-stack convergence on the synthetic dataset (rounds 2-3)")
     print()
     print("Demonstrates that the complete pipeline learns end to end at full size on")
     print("one v5e chip: stage-1 (106M-param `kl_d512_m512_l32_mix` VAE) then stage-2")
@@ -65,11 +65,9 @@ def main():
     for d in s1:
         print(f"| {d['epoch']} | {d['val_iou']:.4f} | {d['val_loss']:.4f} |")
     print()
-    print("Frozen-VAE reconstruction IoU measured during latent caching: **0.838**")
-    print("(`main_cache`, train split).")
-    print()
 
-    print("## Stage 2 — conditional latent diffusion (240 epochs incl. a resume at 120)")
+    print("## Stage 2 — conditional latent diffusion "
+          "(480 epochs: 240 in round 2, extended to 480 per the round-2 plan)")
     print()
     ious = [d["val_iou"] for d in s2]
     cds = [d["val_cd"] for d in s2]
@@ -77,21 +75,44 @@ def main():
     print(f"val Chamfer(m) {spark(cds, invert=True)}  first-finite "
           f"{next((c for c in cds if c != float('inf')), float('nan')):.3f} -> {cds[-1]:.3f}")
     print()
+    print("(table subsampled to every other eval point; full history in the JSONL)")
+    print()
     print("| epoch | val IoU | val CD (m) | val EDM loss |")
     print("|---|---|---|---|")
-    for d in s2:
+    for d in s2[::2]:
         cd = d["val_cd"]
         cd = f"{cd:.4f}" if cd != float("inf") else "inf"
         print(f"| {d['epoch']} | {d['val_iou']:.4f} | {cd} | {d['val_loss']:.4f} |")
     print()
     best = max(s2, key=lambda d: d["val_iou"])
-    print(f"Best stage-2: **IoU {best['val_iou']:.3f} / CD "
-          f"{best['val_cd']:.3f} m** at epoch {best['epoch']} — vs round-1's 0.26 / 0.67")
-    print("(14 epochs). The curve is monotone throughout: the spectrum -> sample ->")
-    print("decode -> threshold product path genuinely learns the radar conditioning at")
-    print("full scale. (Metrics are against the synthetic dataset's val split — a")
-    print("data-ceiling: synthetic cubes encode scene structure as polar density")
-    print("splats with speckle, so perfect reconstruction is not reachable.)")
+    best_cd = min((d for d in s2 if d["val_cd"] != float("inf")),
+                  key=lambda d: d["val_cd"])
+    last = s2[-1]
+    mid = next(d for d in s2 if d["epoch"] == 239)
+    print(f"Best stage-2: **IoU {best['val_iou']:.3f}** (epoch {best['epoch']}) / "
+          f"**CD {best_cd['val_cd']:.3f} m** (epoch {best_cd['epoch']}); final "
+          f"epoch {last['epoch']}: IoU {last['val_iou']:.3f} / CD {last['val_cd']:.3f}.")
+    print()
+    print("## Convergence and ceiling")
+    print()
+    print(f"The 240-epoch extension settles the round-2 \"still rising at cutoff\"")
+    print(f"question: IoU {mid['val_iou']:.3f} (epoch 239) -> {last['val_iou']:.3f}")
+    print(f"(epoch 479) is +{last['val_iou'] - mid['val_iou']:.3f} over the second")
+    print("half vs +0.088 over epochs 120-239 — the curve has **plateaued**, and")
+    print("Chamfer is flat (0.36-0.39 m) over the same span.")
+    print()
+    print("Where the plateau sits relative to the decoder's own ceiling: the frozen")
+    print("stage-1 VAE, given the *ground-truth* point cloud, reconstructs the val")
+    print("split at **IoU 0.965 / CD 0.075 m** under the identical eval protocol")
+    print("(100k query points; `main_ae` eval mode on `out_ae/checkpoint-59`, log:")
+    print("`docs/artifacts/stage1_val_recon_eval.log`). That is the upper bound for")
+    print("any latent predictor. Stage-2 plateaus at 67% of the ceiling IoU — the")
+    print("remaining gap is radar-information-limited, not optimization-limited:")
+    print("the synthetic cubes encode scene structure as polar density splats with")
+    print("multiplicative speckle, so the radar alone does not determine the scene.")
+    print("On this dataset the diffusion stack extracts what the conditioning")
+    print("carries and converges; the real-data ceiling question belongs to the")
+    print("(unreachable here) ColoRadar release.")
 
 
 if __name__ == "__main__":
