@@ -133,6 +133,40 @@ class TestGenerationTraining:
         assert stats["loss"] == -1.0  # metrics skipped
 
 
+class TestFrozenRadarEncoder:
+    """The reference's frozen-encoder configuration (main_generation.py:131-144):
+    radar cubes pre-encoded by a frozen pretrained 3D-CNN outside the
+    diffusion graph, both in training (_prepare_inputs) and eval."""
+
+    def _frozen_cfg(self, root, mode="train"):
+        cfg = _gen_cfg(root, mode)
+        cfg.system.output_dir = str(root / f"gen_frozen_{mode}")
+        cfg.ar_model.configs.unfreeze_radar_enc = False
+        # tiny frozen encoder: (32,16,16) -> (2,1,1) x embed_dim 4
+        cfg.ar_model.configs.enc_radar_ch = 4
+        cfg.radar_enc.overrides = {"basic_channel": 4, "embed_dim": 4}
+        return cfg
+
+    def test_train_eval_frozen(self, synth_root):
+        from rald_tpu.cli.main_generation import run
+
+        cfg = self._frozen_cfg(synth_root, "train")
+        cfg.train.eval_freq = 2  # eval inside the train loop too
+        run(cfg)
+        out = synth_root / "gen_frozen_train"
+        assert (out / "checkpoint-1").exists()
+        records = [json.loads(l) for l in open(out / "log.txt")]
+        assert all(np.isfinite(r["train_loss"]) for r in records)
+        assert any("val_loss" in r for r in records)
+
+        cfg2 = self._frozen_cfg(synth_root, "eval")
+        cfg2.eval.ckpt = str(out / "checkpoint-1")
+        cfg2.eval.store_pc = False
+        stats = run(cfg2)
+        assert np.isfinite(stats["loss"])
+        assert 0.0 <= stats["iou"] <= 1.0
+
+
 class TestLatentCache:
     def test_cache_then_train_from_cache(self, synth_root):
         from rald_tpu.cli.main_cache import run as run_cache

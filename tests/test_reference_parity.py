@@ -260,3 +260,106 @@ class TestRadarAEParity:
             t_z = tmodel._encode(torch.from_numpy(cube))  # NDHWC out
         j_z = jenc.apply({"params": params}, jnp.asarray(cube))
         np.testing.assert_allclose(np.asarray(j_z), t_z.numpy(), atol=5e-4)
+
+
+# ------------------------------------------------ end-to-end engine chain
+
+
+def test_e2e_chain():
+    """Full inference chain vs the reference's own code: same converted
+    weights, same injected prior noise -> the reference's ``edm_sampler`` +
+    ``vae.decode`` (torch CPU, engine_generation.py:195,274-277) and our
+    ``GenerationEngine._sample_impl`` + ``_decode_impl`` must produce the
+    same latent tokens, the same occupancy logits, and point clouds with
+    Chamfer distance <= 1e-3.
+
+    This composes the model-level parity tests above into the *engines'*
+    composition — the strongest stand-in for the unreachable released-weights
+    gate (VERDICT round-2 "What's missing" #3): with S_churn = 0 the
+    reference sampler is deterministic given the prior draw, which we replay
+    by monkeypatching ``StackedRandomGenerator.randn`` with our
+    ``sample_prior_latents`` stream.
+    """
+    from rald_tpu.diffusion.edm import sample_prior_latents
+    from rald_tpu.eval.chamfer import chamfer_distance
+    from rald_tpu.train.gen_engine import GenerationEngine
+
+    # --- tiny EDM whose token shape (8 latents x 4 ch) feeds the tiny VAE
+    cfg = _edm_cfg(tiny=True)
+    torch.manual_seed(0)
+    t_edm = ref_gen.EDMPrecond(
+        n_latents=8, channels=4, n_heads=2, d_head=16, depth=2, configs=cfg
+    ).eval()
+    t_vae = ref_ae.KLAutoEncoder(
+        query_type="mix", depth=2, dim=32, queries_dim=32, output_dim=1,
+        num_inputs=64, num_latents=8, latent_dim=4, heads=2, dim_head=16,
+    ).eval()
+    edm_params = convert_edm_state_dict(_sd(t_edm), depth=2)
+    vae_params = convert_vae_state_dict(_sd(t_vae), depth=2, query_type="mix")
+
+    engine = GenerationEngine(Config({
+        "system": {"seed": 0, "compute_dtype": "float32"},
+        "dataset": {
+            "lidar": {"num_samples": 64},
+            "radar": {"upsample": False},
+        },
+        "train": {"epochs": 1, "warmup_epochs": 0, "blr": 1e-4, "lr": 1e-4,
+                  "min_lr": 1e-6, "clip_grad": 0},
+        "ar_model": {
+            "name": "kl_d512_m512_l32_d24_edm",
+            "configs": cfg,
+            "overrides": {"n_latents": 8, "channels": 4, "depth": 2,
+                          "n_heads": 2, "d_head": 16},
+        },
+        "lidar_ae": {
+            "name": "kl_d512_m512_l32_mix", "latent_std": 1,
+            "overrides": {"dim": 32, "queries_dim": 32, "depth": 2,
+                          "num_latents": 8, "latent_dim": 4,
+                          "heads": 2, "dim_head": 16},
+        },
+    }))
+
+    rng = np.random.default_rng(10)
+    cube = rng.normal(size=(1, 32, 16, 16, 3)).astype(np.float32)
+    grid = rng.uniform(-1, 1, size=(1, 600, 3)).astype(np.float32)
+    seeds = jnp.arange(1)
+
+    # identical prior draw on both sides: our per-sample stream, replayed
+    # into the reference through StackedRandomGenerator
+    lat_np = np.asarray(sample_prior_latents(seeds, 8, 4))
+
+    orig_randn = ref_gen.StackedRandomGenerator.randn
+    try:
+        ref_gen.StackedRandomGenerator.randn = (
+            lambda self, size, **kw: torch.from_numpy(lat_np.copy())
+        )
+        with torch.no_grad():
+            t_tokens = t_edm.sample(
+                cond=torch.from_numpy(cube), cond_type="radar"
+            ).to(torch.float32)
+    finally:
+        ref_gen.StackedRandomGenerator.randn = orig_randn
+    with torch.no_grad():
+        t_logits = t_vae.decode(
+            t_tokens, torch.from_numpy(grid)
+        ).squeeze(-1).numpy()
+
+    j_tokens = engine._sample_impl(edm_params, jnp.asarray(cube), seeds)
+    j_logits = np.asarray(
+        engine._decode_impl(vae_params, j_tokens, jnp.asarray(grid))
+    )
+
+    # tokens after 35 NFEs of the same weights from the same noise
+    np.testing.assert_allclose(
+        np.asarray(j_tokens), t_tokens.numpy(), atol=2e-3
+    )
+    # occupancy logits through the (folded, fast_inference) decode path
+    np.testing.assert_allclose(j_logits, t_logits, atol=5e-3)
+
+    # thresholded point clouds (reference engine_generation.py:285)
+    t_pred = grid[0][t_logits[0] > 0]
+    j_pred = grid[0][j_logits[0] > 0]
+    agree = np.mean((t_logits[0] > 0) == (j_logits[0] > 0))
+    assert agree >= 0.998, f"occupancy mask agreement {agree}"
+    assert t_pred.shape[0] > 0 and j_pred.shape[0] > 0
+    assert float(chamfer_distance(j_pred, t_pred)) <= 1e-3
