@@ -109,7 +109,8 @@ def build():
         "kl_d512_m512_l32_d24_edm", mc, dtype=dtype, use_fused_ff=on_tpu
     )
     vae = get_ae_model(
-        "kl_d512_m512_l32_mix", N=10000, dtype=dtype, fold_decode_tail=True
+        "kl_d512_m512_l32_mix", N=10000, dtype=dtype, fold_decode_tail=True,
+        use_fused_ff=on_tpu,
     )
 
     rng = jax.random.PRNGKey(0)

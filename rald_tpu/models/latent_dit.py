@@ -87,7 +87,20 @@ class LatentDiTBlock(nn.Module):
         x = x + self.attn2(
             self.norm2.apply_mod(x, s2, b2), context=cond, deterministic=deterministic
         )
-        x = x + self.ff(self.norm3.apply_mod(x, s3, b3), deterministic=deterministic)
+        if self.use_fused_ff and not self.is_initializing():
+            # whole FF sublayer (AdaLN mod + LN + GEGLU FF + residual) in one
+            # VMEM-resident Pallas kernel: the LN output and modulated
+            # activations never touch HBM (rald_tpu.ops.geglu_kernel)
+            from rald_tpu.ops.geglu_kernel import fused_ln_geglu_residual
+
+            p = self.variables["params"]["ff"]
+            x = fused_ln_geglu_residual(
+                x.astype(self.dtype), s3, b3,
+                p["proj_in"]["kernel"], p["proj_in"]["bias"],
+                p["proj_out"]["kernel"], p["proj_out"]["bias"],
+            )
+        else:
+            x = x + self.ff(self.norm3.apply_mod(x, s3, b3), deterministic=deterministic)
         return x
 
     def __call__(

@@ -61,11 +61,27 @@ class SelfAttnBlock(nn.Module):
             dtype=self.dtype,
             name="attn",
         )(h, deterministic=deterministic)
-        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ff_norm")(x)
-        x = x + GEGLUFeedForward(
-            drop_path_rate=self.drop_path_rate, use_fused=self.use_fused_ff,
-            dtype=self.dtype, name="ff"
-        )(h, deterministic=deterministic)
+        if self.use_fused_ff and deterministic and not self.is_initializing():
+            # whole FF sublayer (LN + GEGLU FF + residual) in one
+            # VMEM-resident Pallas kernel (rald_tpu.ops.geglu_kernel); the
+            # unfused branch below created these params at init
+            from rald_tpu.ops.geglu_kernel import fused_ln_geglu_residual
+
+            p = self.variables["params"]
+            ln, ff = p["ff_norm"], p["ff"]
+            x = fused_ln_geglu_residual(
+                x.astype(self.dtype),
+                ln["scale"][None, None], ln["bias"][None, None],
+                ff["proj_in"]["kernel"], ff["proj_in"]["bias"],
+                ff["proj_out"]["kernel"], ff["proj_out"]["bias"],
+                scale_shift_mod=False,
+            )
+        else:
+            h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ff_norm")(x)
+            x = x + GEGLUFeedForward(
+                drop_path_rate=self.drop_path_rate, use_fused=self.use_fused_ff,
+                dtype=self.dtype, name="ff"
+            )(h, deterministic=deterministic)
         return x
 
 

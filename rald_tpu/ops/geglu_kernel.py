@@ -46,6 +46,108 @@ def _gelu_exact(x):
     return (0.5 * xf * (1.0 + _erf(xf * 0.7071067811865476))).astype(x.dtype)
 
 
+def _ln_kernel(x_ref, s_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref,
+               *, ln_eps: float, scale_shift_mod: bool):
+    """Whole FF sublayer per (batch, token-block) grid step:
+
+        out = x + W2 @ geglu(W1 @ mod(LN(x)))
+
+    with mod(h) = h*(1+s)+b (AdaLN, ``scale_shift_mod=True``) or h*s+b
+    (affine LayerNorm params, ``False``). The LN output, the modulated
+    activations, the (block, 2*inner) projection and the gated product all
+    stay in VMEM — HBM sees only x (read once, reused for the residual),
+    the weights, and the (block, dim) result.
+    """
+    x = x_ref[0]  # (block, D)
+    xf = x.astype(jnp.float32)
+    m = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf), axis=-1, keepdims=True) - jnp.square(m)
+    h = (xf - m) * jax.lax.rsqrt(var + ln_eps)
+    s_row = s_ref[0].astype(jnp.float32)  # (1, D)
+    b_row = b_ref[0].astype(jnp.float32)
+    if scale_shift_mod:
+        h = h * (1.0 + s_row) + b_row
+    else:
+        h = h * s_row + b_row
+    h = h.astype(x.dtype)
+
+    p = jnp.dot(h, w1_ref[...], preferred_element_type=jnp.float32)
+    p = (p + b1_ref[...].astype(jnp.float32)).astype(x.dtype)
+    inner = p.shape[-1] // 2
+    val, gate = p[:, :inner], p[:, inner:]
+    g = val * _gelu_exact(gate)
+    out = jnp.dot(g, w2_ref[...], preferred_element_type=jnp.float32)
+    out = out + b2_ref[...].astype(jnp.float32) + xf  # residual
+    o_ref[0] = out.astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("scale_shift_mod", "ln_eps", "block", "interpret")
+)
+def fused_ln_geglu_residual(
+    x: jax.Array,
+    scale: jax.Array,
+    shift: jax.Array,
+    w1: jax.Array,
+    b1: jax.Array,
+    w2: jax.Array,
+    b2: jax.Array,
+    scale_shift_mod: bool = True,
+    ln_eps: float = 1e-5,
+    block: int = 512,
+    interpret: bool = False,
+) -> jax.Array:
+    """``x + (proj_in -> GEGLU -> proj_out)(mod(LN(x)))`` fused in VMEM.
+
+    x: (B, N, D); scale/shift: (B, 1, D)-broadcastable modulation rows
+    (AdaLN ``h*(1+scale)+shift`` when ``scale_shift_mod``, else affine
+    ``h*scale+shift``); w1: (D, 2*inner); w2: (inner, D) — the FF must be
+    dim-preserving for the residual. Per-token modulations are not
+    supported (one row per batch element). Inference-path only.
+    """
+    bsz, n, dim = x.shape
+    assert w2.shape[-1] == dim, "residual fusion needs out_dim == dim"
+    for name, a in (("scale", scale), ("shift", shift)):
+        if a.ndim >= 2 and a.shape[-2] != 1:
+            raise ValueError(
+                f"fused_ln_geglu_residual: {name} must be (B, 1, D)-"
+                f"broadcastable, got {a.shape}"
+            )
+    scale = jnp.broadcast_to(scale.astype(x.dtype), (bsz, 1, dim))
+    shift = jnp.broadcast_to(shift.astype(x.dtype), (bsz, 1, dim))
+    two_inner = w1.shape[-1]
+    w1, b1, w2, b2 = (a.astype(x.dtype) for a in (w1, b1, w2, b2))
+    nb = -(-n // block)
+    pad = nb * block - n
+    if pad:
+        x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
+
+    kernel = functools.partial(
+        _ln_kernel, ln_eps=ln_eps, scale_shift_mod=scale_shift_mod
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(bsz, nb),
+        in_specs=[
+            pl.BlockSpec((1, block, dim), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, dim), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, dim), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((dim, two_inner), lambda b, i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, two_inner), lambda b, i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((two_inner // 2, dim), lambda b, i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, dim), lambda b, i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, block, dim), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((bsz, nb * block, dim), x.dtype),
+        interpret=interpret,
+    )(x, scale, shift, w1, b1.reshape(1, -1), w2, b2.reshape(1, -1))
+    if pad:
+        out = out[:, :n]
+    return out
+
+
 def _kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref):
     # storage dtype follows x (bf16 in the engines); the MXU accumulates in
     # f32 internally either way — numerics match the unfused flax Dense path

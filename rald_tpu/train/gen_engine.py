@@ -93,7 +93,10 @@ class GenerationEngine:
         self.model_eval = (
             self.model.copy(use_fused_ff=True) if (fast and on_tpu) else self.model
         )
-        self.vae_eval = self.vae.copy(fold_decode_tail=True) if fast else self.vae
+        self.vae_eval = (
+            self.vae.copy(fold_decode_tail=True, use_fused_ff=on_tpu)
+            if fast else self.vae
+        )
 
         radar = cfg.dataset.get("radar", {})
         # on-device bilinear upsample of the conditioning cube: ship the raw

@@ -53,6 +53,62 @@ def test_geglu_kernel_pads_ragged_tokens():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5)
 
 
+def test_fused_ln_geglu_residual_adaln_mode():
+    """x + FF(LN(x)*(1+s)+b) — the DiT block's FF sublayer — vs the flax
+    composition (round-3 mod+residual fold)."""
+    from rald_tpu.ops.geglu_kernel import fused_ln_geglu_residual
+
+    rng = jax.random.PRNGKey(3)
+    b, n, d = 2, 160, 64
+    x = jax.random.normal(rng, (b, n, d), jnp.float32)
+    scale = jax.random.normal(jax.random.fold_in(rng, 1), (b, 1, d)) * 0.1
+    shift = jax.random.normal(jax.random.fold_in(rng, 2), (b, 1, d)) * 0.1
+    ff = GEGLUFeedForward(dtype=jnp.float32)
+    params = ff.init(rng, x)["params"]
+
+    import flax.linen as nn
+
+    ln = nn.LayerNorm(epsilon=1e-5, use_bias=False, use_scale=False)
+    h = ln.apply({}, x) * (1 + scale) + shift
+    ref = x + ff.apply({"params": params}, h)
+
+    out = fused_ln_geglu_residual(
+        x, scale, shift,
+        params["proj_in"]["kernel"], params["proj_in"]["bias"],
+        params["proj_out"]["kernel"], params["proj_out"]["bias"],
+        scale_shift_mod=True, block=128, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5, rtol=3e-5)
+
+
+def test_fused_ln_geglu_residual_affine_mode():
+    """x + FF(LN_affine(x)) — the VAE SelfAttnBlock FF sublayer — including
+    ragged token counts (pad path)."""
+    from rald_tpu.ops.geglu_kernel import fused_ln_geglu_residual
+
+    rng = jax.random.PRNGKey(4)
+    b, n, d = 2, 90, 64
+    x = jax.random.normal(rng, (b, n, d), jnp.float32)
+    gamma = 1.0 + 0.1 * jax.random.normal(jax.random.fold_in(rng, 1), (d,))
+    beta = 0.1 * jax.random.normal(jax.random.fold_in(rng, 2), (d,))
+    ff = GEGLUFeedForward(dtype=jnp.float32)
+    params = ff.init(rng, x)["params"]
+
+    import flax.linen as nn
+
+    ln = nn.LayerNorm(epsilon=1e-5)
+    h = ln.apply({"params": {"scale": gamma, "bias": beta}}, x)
+    ref = x + ff.apply({"params": params}, h)
+
+    out = fused_ln_geglu_residual(
+        x, gamma[None, None], beta[None, None],
+        params["proj_in"]["kernel"], params["proj_in"]["bias"],
+        params["proj_out"]["kernel"], params["proj_out"]["bias"],
+        scale_shift_mod=False, block=128, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5, rtol=3e-5)
+
+
 def test_fused_ff_flag_in_module():
     """GEGLUFeedForward(use_fused=True) matches the unfused module (interpret
     has no module-level hook, so run the kernel path only on TPU)."""
