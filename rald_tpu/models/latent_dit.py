@@ -45,6 +45,12 @@ class LatentDiTBlock(nn.Module):
     d_head: int = 64
     use_fused_ff: bool = False
     use_fused_attn: bool = False
+    # quantized inference: FF / self-attn projection matmuls in int8
+    # (weights per-column static, activations per-token dynamic). Lossy —
+    # opt-in, eval-only; requires an "int8" collection built by
+    # ops.geglu_kernel.quantize_ff_tree / ops.attn_kernel.quantize_attn_tree.
+    use_int8_ff: bool = False
+    use_int8_attn: bool = False
     dtype: Dtype = jnp.float32
 
     def setup(self):
@@ -70,7 +76,23 @@ class LatentDiTBlock(nn.Module):
         deterministic: bool = True,
     ) -> jax.Array:
         (s1, b1), (s2, b2), (s3, b3) = mods
-        if self.use_fused_attn and not self.is_initializing():
+        if (self.use_int8_attn and not self.is_initializing()
+                and "int8" in self.variables):
+            # quantized self-attn sublayer: the four (D, D) projections run
+            # int8 on the MXU inside the fused kernel (scores/softmax/values
+            # stay f32/bf16) — rald_tpu.ops.attn_kernel
+            from rald_tpu.ops.attn_kernel import fused_self_attention_block_int8
+
+            p = self.variables["params"]["attn1"]
+            q = self.variables["int8"]["attn1"]
+            x = fused_self_attention_block_int8(
+                x.astype(self.dtype), s1, b1,
+                q["to_q_q"], q["to_q_s"], q["to_k_q"], q["to_k_s"],
+                q["to_v_q"], q["to_v_s"], q["to_out_q"], q["to_out_s"],
+                p["to_out"]["bias"],
+                heads=self.n_heads,
+            )
+        elif self.use_fused_attn and not self.is_initializing():
             # whole sublayer (AdaLN mod + LN + MHA + out-proj + residual) in
             # one VMEM-resident Pallas kernel (rald_tpu.ops.attn_kernel)
             from rald_tpu.ops.attn_kernel import fused_self_attention_block
@@ -91,14 +113,24 @@ class LatentDiTBlock(nn.Module):
             # whole FF sublayer (AdaLN mod + LN + GEGLU FF + residual) in one
             # VMEM-resident Pallas kernel: the LN output and modulated
             # activations never touch HBM (rald_tpu.ops.geglu_kernel)
-            from rald_tpu.ops.geglu_kernel import fused_ln_geglu_residual
-
             p = self.variables["params"]["ff"]
-            x = fused_ln_geglu_residual(
-                x.astype(self.dtype), s3, b3,
-                p["proj_in"]["kernel"], p["proj_in"]["bias"],
-                p["proj_out"]["kernel"], p["proj_out"]["bias"],
-            )
+            if self.use_int8_ff and "int8" in self.variables:
+                from rald_tpu.ops.geglu_kernel import fused_ln_geglu_residual_int8
+
+                q = self.variables["int8"]["ff"]
+                x = fused_ln_geglu_residual_int8(
+                    x.astype(self.dtype), s3, b3,
+                    q["w1q"], q["s1"], p["proj_in"]["bias"],
+                    q["w2q"], q["s2"], p["proj_out"]["bias"],
+                )
+            else:
+                from rald_tpu.ops.geglu_kernel import fused_ln_geglu_residual
+
+                x = fused_ln_geglu_residual(
+                    x.astype(self.dtype), s3, b3,
+                    p["proj_in"]["kernel"], p["proj_in"]["bias"],
+                    p["proj_out"]["kernel"], p["proj_out"]["bias"],
+                )
         else:
             x = x + self.ff(self.norm3.apply_mod(x, s3, b3), deterministic=deterministic)
         return x
@@ -122,6 +154,8 @@ class LatentArrayTransformer(nn.Module):
     out_channels: Optional[int] = None
     use_fused_ff: bool = False
     use_fused_attn: bool = False
+    use_int8_ff: bool = False
+    use_int8_attn: bool = False
     dtype: Dtype = jnp.float32
 
     def setup(self):
@@ -135,6 +169,7 @@ class LatentArrayTransformer(nn.Module):
             LatentDiTBlock(
                 n_heads=self.n_heads, d_head=self.d_head,
                 use_fused_ff=self.use_fused_ff, use_fused_attn=self.use_fused_attn,
+                use_int8_ff=self.use_int8_ff, use_int8_attn=self.use_int8_attn,
                 dtype=self.dtype, name=f"block_{i}"
             )
             for i in range(self.depth)
@@ -202,6 +237,8 @@ class EDMPrecond(nn.Module):
     enc_hidden_ch: int = 64
     use_fused_ff: bool = False
     use_fused_attn: bool = False
+    use_int8_ff: bool = False
+    use_int8_attn: bool = False
     dtype: Dtype = jnp.float32
 
     def setup(self):
@@ -213,6 +250,8 @@ class EDMPrecond(nn.Module):
             depth=self.depth,
             use_fused_ff=self.use_fused_ff,
             use_fused_attn=self.use_fused_attn,
+            use_int8_ff=self.use_int8_ff,
+            use_int8_attn=self.use_int8_attn,
             dtype=self.dtype,
         )
         if self.cond_type == "radar":

@@ -130,3 +130,153 @@ def fused_self_attention_block(
         out_shape=jax.ShapeDtypeStruct((b, n, d), x.dtype),
         interpret=interpret,
     )(x, scale, shift, wq, wk, wv, wo, bo.reshape(1, -1))
+
+
+def _int8_kernel(x_ref, s_ref, b_ref, wq_ref, sq_ref, wk_ref, sk_ref,
+                 wv_ref, sv_ref, wo_ref, so_ref, bo_ref, o_ref,
+                 *, heads: int, ln_eps: float, scale_shift_mod: bool):
+    """int8-projection variant of :func:`_kernel` (round-3 quantized
+    inference): the four (D, D) projection matmuls run int8 x int8 -> int32
+    on the MXU's double-rate 8-bit mode. The LN output is quantized per-row
+    ONCE and shared by the q/k/v dots; attention scores, softmax and the
+    attention-weighted values stay in f32/bf16 exactly as the bf16 kernel.
+    """
+    x = x_ref[0]  # (N, D)
+    xf = x.astype(jnp.float32)
+    m = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf), axis=-1, keepdims=True) - jnp.square(m)
+    h = (xf - m) * jax.lax.rsqrt(var + ln_eps)
+    s_row = s_ref[0].astype(jnp.float32)
+    b_row = b_ref[0].astype(jnp.float32)
+    if scale_shift_mod:
+        h = h * (1.0 + s_row) + b_row
+    else:
+        h = h * s_row + b_row
+
+    hmax = jnp.maximum(jnp.max(jnp.abs(h), axis=-1, keepdims=True), 1e-6)
+    hq8 = jnp.round(h * (127.0 / hmax)).astype(jnp.int8)
+    hrow = hmax / 127.0  # (N, 1)
+
+    def proj(wq8_ref, scol_ref):
+        acc = jnp.dot(hq8, wq8_ref[...], preferred_element_type=jnp.int32)
+        return (acc.astype(jnp.float32) * hrow * scol_ref[...]).astype(x.dtype)
+
+    q = proj(wq_ref, sq_ref)
+    k = proj(wk_ref, sk_ref)
+    v = proj(wv_ref, sv_ref)
+
+    n, d = x.shape
+    dh = d // heads
+    outs = []
+    for hd in range(heads):
+        sl = slice(hd * dh, (hd + 1) * dh)
+        qh, kh, vh = q[:, sl], k[:, sl], v[:, sl]
+        s = jax.lax.dot_general(
+            qh, kh, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * (dh ** -0.5)
+        s = s - jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s)
+        a = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(x.dtype)
+        outs.append(jnp.dot(a, vh, preferred_element_type=jnp.float32))
+    attn_out = jnp.concatenate(outs, axis=-1)  # f32
+
+    amax = jnp.maximum(jnp.max(jnp.abs(attn_out), axis=-1, keepdims=True), 1e-6)
+    aq8 = jnp.round(attn_out * (127.0 / amax)).astype(jnp.int8)
+    acc = jnp.dot(aq8, wo_ref[...], preferred_element_type=jnp.int32)
+    y = acc.astype(jnp.float32) * (amax / 127.0) * so_ref[...]
+    y = y + bo_ref[...].astype(jnp.float32) + xf  # residual
+    o_ref[0] = y.astype(o_ref.dtype)
+
+
+def quantize_attn_tree(params) -> dict:
+    """Mirror ``"int8"`` collection for self-attention projections: every
+    ``attn1`` node carrying ``to_q/to_k/to_v/to_out`` Dense kernels gains
+    per-output-column int8 weights + f32 scales at the same tree path.
+    Compose with ops.geglu_kernel.quantize_ff_tree via a dict merge."""
+    from rald_tpu.ops.geglu_kernel import quantize_cols
+
+    def walk(d):
+        out = {}
+        for k, v in d.items():
+            if not isinstance(v, dict):
+                continue
+            if k == "attn1" and all(
+                key in v for key in ("to_q", "to_k", "to_v", "to_out")
+            ):
+                node = {}
+                for proj in ("to_q", "to_k", "to_v", "to_out"):
+                    wq8, s = quantize_cols(v[proj]["kernel"])
+                    node[proj + "_q"] = wq8
+                    node[proj + "_s"] = s
+                out[k] = node
+            else:
+                sub = walk(v)
+                if sub:
+                    out[k] = sub
+        return out
+
+    return walk(params)
+
+
+def merge_int8_trees(a: dict, b: dict) -> dict:
+    """Deep-merge two ``"int8"`` collections (disjoint leaves)."""
+    out = dict(a)
+    for k, v in b.items():
+        if k in out and isinstance(out[k], dict) and isinstance(v, dict):
+            out[k] = merge_int8_trees(out[k], v)
+        else:
+            out[k] = v
+    return out
+
+
+@functools.partial(
+    jax.jit, static_argnames=("heads", "ln_eps", "scale_shift_mod", "interpret")
+)
+def fused_self_attention_block_int8(
+    x: jax.Array,
+    scale: jax.Array,
+    shift: jax.Array,
+    wq_q: jax.Array, wq_s: jax.Array,
+    wk_q: jax.Array, wk_s: jax.Array,
+    wv_q: jax.Array, wv_s: jax.Array,
+    wo_q: jax.Array, wo_s: jax.Array,
+    bo: jax.Array,
+    heads: int = 8,
+    ln_eps: float = 1e-5,
+    scale_shift_mod: bool = True,
+    interpret: bool = False,
+) -> jax.Array:
+    """:func:`fused_self_attention_block` with int8 projection weights
+    (from :func:`quantize_attn_tree`) + dynamic per-token activation
+    quantization. Lossy; opt-in via ``use_int8_attn`` (quantized
+    inference), e2e-gated by scripts/perf_probe4.py."""
+    b, n, d = x.shape
+    for name, a in (("scale", scale), ("shift", shift)):
+        if a.ndim >= 2 and a.shape[-2] not in (1,):
+            raise ValueError(
+                f"fused_self_attention_block_int8: {name} must be (B, 1, D)-"
+                f"broadcastable, got {a.shape}"
+            )
+    scale = jnp.broadcast_to(scale.astype(x.dtype), (b, 1, d))
+    shift = jnp.broadcast_to(shift.astype(x.dtype), (b, 1, d))
+
+    kernel = functools.partial(
+        _int8_kernel, heads=heads, ln_eps=ln_eps, scale_shift_mod=scale_shift_mod
+    )
+    wspec = pl.BlockSpec((d, d), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    sspec = pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, n, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            wspec, sspec, wspec, sspec, wspec, sspec, wspec, sspec,
+            sspec,
+        ],
+        out_specs=pl.BlockSpec((1, n, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, n, d), x.dtype),
+        interpret=interpret,
+    )(x, scale, shift, wq_q, wq_s, wk_q, wk_s, wv_q, wv_s, wo_q, wo_s,
+      bo.reshape(1, -1))

@@ -148,6 +148,148 @@ def fused_ln_geglu_residual(
     return out
 
 
+def _ln_int8_kernel(x_ref, s_ref, b_ref, w1q_ref, s1_ref, b1_ref,
+                    w2q_ref, s2_ref, b2_ref, o_ref,
+                    *, ln_eps: float, scale_shift_mod: bool):
+    """int8-weight variant of :func:`_ln_kernel` (round-3 lever, measured
+    0.415 -> 0.344 ms per (16,512,512)x2048 FF sublayer on v5e —
+    scripts/perf_probe4.py).
+
+    Weights are pre-quantized per-output-column (symmetric int8);
+    activations are quantized per-row (per-token) dynamically after the
+    LN+mod, so both MXU contractions run int8 x int8 -> int32 at the MXU's
+    double-rate 8-bit mode. Dequantization is the rank-1 outer product of
+    the row and column scales; the GEGLU gate runs in f32 as before.
+    """
+    x = x_ref[0]
+    xf = x.astype(jnp.float32)
+    m = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf), axis=-1, keepdims=True) - jnp.square(m)
+    h = (xf - m) * jax.lax.rsqrt(var + ln_eps)
+    s_row = s_ref[0].astype(jnp.float32)
+    b_row = b_ref[0].astype(jnp.float32)
+    if scale_shift_mod:
+        h = h * (1.0 + s_row) + b_row
+    else:
+        h = h * s_row + b_row
+
+    hmax = jnp.maximum(jnp.max(jnp.abs(h), axis=-1, keepdims=True), 1e-6)
+    hq = jnp.round(h * (127.0 / hmax)).astype(jnp.int8)
+    acc = jnp.dot(hq, w1q_ref[...], preferred_element_type=jnp.int32)
+    p = acc.astype(jnp.float32) * (hmax / 127.0) * s1_ref[...]
+    p = p + b1_ref[...].astype(jnp.float32)
+    inner = p.shape[-1] // 2
+    val, gate = p[:, :inner], p[:, inner:]
+    g = val * _gelu_exact(gate)
+
+    gmax = jnp.maximum(jnp.max(jnp.abs(g), axis=-1, keepdims=True), 1e-6)
+    gq = jnp.round(g * (127.0 / gmax)).astype(jnp.int8)
+    acc2 = jnp.dot(gq, w2q_ref[...], preferred_element_type=jnp.int32)
+    out = acc2.astype(jnp.float32) * (gmax / 127.0) * s2_ref[...]
+    out = out + b2_ref[...].astype(jnp.float32) + xf
+    o_ref[0] = out.astype(o_ref.dtype)
+
+
+def quantize_cols(w: jax.Array):
+    """Per-output-column symmetric int8: ``(w_q int8, s_col f32 (1, out))``
+    with ``w ~= w_q * s_col``."""
+    w = w.astype(jnp.float32)
+    s = jnp.maximum(jnp.max(jnp.abs(w), axis=0, keepdims=True), 1e-8) / 127.0
+    wq = jnp.clip(jnp.round(w / s), -127, 127).astype(jnp.int8)
+    return wq, s
+
+
+def quantize_ff_tree(params) -> dict:
+    """Walk a flax params tree and build the mirror ``"int8"`` collection:
+    every ``ff`` node carrying ``proj_in``/``proj_out`` Dense kernels gains
+    ``{w1q, s1, w2q, s2}`` at the same tree path. Run ONCE per weight set
+    (outside any sampling loop) and pass the result as
+    ``apply({"params": p, "int8": q}, ...)``."""
+    def walk(d):
+        out = {}
+        for k, v in d.items():
+            if not isinstance(v, dict):
+                continue
+            if k == "ff" and "proj_in" in v and "proj_out" in v:
+                w1q, s1 = quantize_cols(v["proj_in"]["kernel"])
+                w2q, s2 = quantize_cols(v["proj_out"]["kernel"])
+                out[k] = {"w1q": w1q, "s1": s1, "w2q": w2q, "s2": s2}
+            else:
+                sub = walk(v)
+                if sub:
+                    out[k] = sub
+        return out
+
+    return walk(params)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("scale_shift_mod", "ln_eps", "block", "interpret")
+)
+def fused_ln_geglu_residual_int8(
+    x: jax.Array,
+    scale: jax.Array,
+    shift: jax.Array,
+    w1q: jax.Array,
+    s1: jax.Array,
+    b1: jax.Array,
+    w2q: jax.Array,
+    s2: jax.Array,
+    b2: jax.Array,
+    scale_shift_mod: bool = True,
+    ln_eps: float = 1e-5,
+    block: int = 512,
+    interpret: bool = False,
+) -> jax.Array:
+    """:func:`fused_ln_geglu_residual` with int8 weights + dynamic per-token
+    int8 activations (see :func:`_ln_int8_kernel`). ``w1q``/``w2q`` int8 with
+    f32 column scales ``s1`` (1, 2*inner) / ``s2`` (1, dim) from
+    :func:`quantize_cols`. Lossy (~1.5% rel per sublayer); opt-in via
+    ``use_int8_ff`` on the DiT (quantized inference), gated end-to-end by
+    scripts/perf_probe4.py and tests/test_fused_kernels.py."""
+    bsz, n, dim = x.shape
+    assert w2q.shape[-1] == dim, "residual fusion needs out_dim == dim"
+    for name, a in (("scale", scale), ("shift", shift)):
+        if a.ndim >= 2 and a.shape[-2] != 1:
+            raise ValueError(
+                f"fused_ln_geglu_residual_int8: {name} must be (B, 1, D)-"
+                f"broadcastable, got {a.shape}"
+            )
+    scale = jnp.broadcast_to(scale.astype(x.dtype), (bsz, 1, dim))
+    shift = jnp.broadcast_to(shift.astype(x.dtype), (bsz, 1, dim))
+    two_inner = w1q.shape[-1]
+    nb = -(-n // block)
+    pad = nb * block - n
+    if pad:
+        x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
+    kernel = functools.partial(
+        _ln_int8_kernel, ln_eps=ln_eps, scale_shift_mod=scale_shift_mod
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(bsz, nb),
+        in_specs=[
+            pl.BlockSpec((1, block, dim), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, dim), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, dim), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((dim, two_inner), lambda b, i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, two_inner), lambda b, i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, two_inner), lambda b, i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((two_inner // 2, dim), lambda b, i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, dim), lambda b, i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, dim), lambda b, i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, block, dim), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((bsz, nb * block, dim), x.dtype),
+        interpret=interpret,
+    )(x, scale, shift, w1q, s1, b1.reshape(1, -1), w2q, s2, b2.reshape(1, -1))
+    if pad:
+        out = out[:, :n]
+    return out
+
+
 def _kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref):
     # storage dtype follows x (bf16 in the engines); the MXU accumulates in
     # f32 internally either way — numerics match the unfused flax Dense path

@@ -90,8 +90,19 @@ class GenerationEngine:
         # unfused modules). Same parameter trees; measured in docs/DESIGN.md.
         fast = bool(cfg.system.get("fast_inference", True))
         on_tpu = jax.default_backend() == "tpu"
+        # quantized inference (eval.inference.int8_ff, default off): the DiT
+        # FF matmuls run int8 (static per-column weight scales + dynamic
+        # per-token activation scales) on the MXU's double-rate 8-bit mode.
+        # Lossy (~1.5% rel per sublayer; e2e occupancy agreement checked in
+        # scripts/perf_probe4.py) — strictly opt-in.
+        _inf = cfg.get("eval", {}).get("inference", {})
+        int8_ff = bool(_inf.get("int8_ff", False))
+        int8_attn = bool(_inf.get("int8_attn", False))
         self.model_eval = (
-            self.model.copy(use_fused_ff=True) if (fast and on_tpu) else self.model
+            self.model.copy(
+                use_fused_ff=True, use_int8_ff=int8_ff, use_int8_attn=int8_attn
+            )
+            if (fast and on_tpu) else self.model
         )
         self.vae_eval = (
             self.vae.copy(fold_decode_tail=True, use_fused_ff=on_tpu)
@@ -260,17 +271,32 @@ class GenerationEngine:
         Condition tokens are processed ONCE here, then reused for all NFEs.
         """
         model = self.model_eval
+        variables = {"params": params}
+        int8 = {}
+        if getattr(model, "use_int8_ff", False):
+            # quantize the FF weights once per sampling call — this sits
+            # outside the NFE scan, so the 35-NFE loop reads the int8
+            # weights straight from HBM at half the bf16 byte volume
+            from rald_tpu.ops.geglu_kernel import quantize_ff_tree
+
+            int8 = quantize_ff_tree(params)
+        if getattr(model, "use_int8_attn", False):
+            from rald_tpu.ops.attn_kernel import merge_int8_trees, quantize_attn_tree
+
+            int8 = merge_int8_trees(int8, quantize_attn_tree(params))
+        if int8:
+            variables = {"params": params, "int8": int8}
         cond = None
         if radar_cube is not None:
             if not self.frozen_radar_enc:
                 radar_cube = self._maybe_upsample(radar_cube)
-            cond = model.apply({"params": params}, radar_cube, method="process_radar_cond")
+            cond = model.apply(variables, radar_cube, method="process_radar_cond")
         latents = sample_prior_latents(seeds, model.n_latents, model.channels)
 
         if self.sampler_kwargs.get("s_churn", 0) > 0:
             # churn perturbs sigma off the schedule — mod tables don't apply
             def denoise(x, sigma):
-                return model.apply({"params": params}, x, sigma, cond, method="denoise")
+                return model.apply(variables, x, sigma, cond, method="denoise")
 
             from rald_tpu.diffusion.edm import per_sample_keys
 
@@ -292,14 +318,14 @@ class GenerationEngine:
         from rald_tpu.diffusion.edm import stack_mod_table, unstack_mods
 
         mod_table = stack_mod_table(model.apply(
-            {"params": params}, t_steps[:-1], method="compute_mod_table"
+            variables, t_steps[:-1], method="compute_mod_table"
         ))
 
         def denoise_indexed(x, sigma, idx):
             # one dynamic slice per NFE on the stacked table (vs one per leaf)
             mods = unstack_mods(mod_table[idx])
             return model.apply(
-                {"params": params}, x, sigma, mods, cond, method="denoise_with_mods"
+                variables, x, sigma, mods, cond, method="denoise_with_mods"
             )
 
         return edm_sampler(

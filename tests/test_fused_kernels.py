@@ -219,3 +219,102 @@ def test_fold_decode_tail_exact_algebra():
     np.testing.assert_allclose(unfolded, folded, rtol=1e-12)
 
 
+
+
+def test_int8_ff_kernel_accuracy():
+    """int8-weight FF kernel (quantized inference): per-sublayer error vs
+    the f32 composition stays within dynamic-quantization tolerance."""
+    from rald_tpu.ops.geglu_kernel import (
+        fused_ln_geglu_residual_int8, quantize_cols,
+    )
+
+    rng = jax.random.PRNGKey(7)
+    b, n, d, inner = 2, 160, 64, 256
+    ks = jax.random.split(rng, 8)
+    x = jax.random.normal(ks[0], (b, n, d), jnp.float32)
+    sc = 0.1 * jax.random.normal(ks[1], (b, 1, d))
+    sh = 0.1 * jax.random.normal(ks[2], (b, 1, d))
+    w1 = jax.random.normal(ks[3], (d, 2 * inner)) * (d ** -0.5)
+    b1 = 0.01 * jax.random.normal(ks[4], (2 * inner,))
+    w2 = jax.random.normal(ks[5], (inner, d)) * (inner ** -0.5)
+    b2 = 0.01 * jax.random.normal(ks[6], (d,))
+
+    import flax.linen as nn
+
+    ln = nn.LayerNorm(epsilon=1e-5, use_bias=False, use_scale=False)
+    h = ln.apply({}, x) * (1 + sc) + sh
+    p = h @ w1 + b1
+    g = p[..., :inner] * jax.nn.gelu(p[..., inner:], approximate=False)
+    ref = np.asarray(x + g @ w2 + b2)
+
+    w1q, s1 = quantize_cols(w1)
+    w2q, s2 = quantize_cols(w2)
+    out = np.asarray(fused_ln_geglu_residual_int8(
+        x, sc, sh, w1q, s1, b1, w2q, s2, b2, block=128, interpret=True,
+    ), np.float32)
+    rel = np.abs(out - ref).max() / np.abs(ref).max()
+    corr = np.corrcoef(out.ravel(), ref.ravel())[0, 1]
+    assert rel < 0.05 and corr > 0.999, (rel, corr)
+
+
+def test_quantize_ff_tree_structure():
+    """quantize_ff_tree mirrors the params tree: every DiT block's ff node
+    gains {w1q, s1, w2q, s2} at the same path, and w_q*s reconstructs w."""
+    from rald_tpu.models.latent_dit import LatentArrayTransformer
+    from rald_tpu.ops.geglu_kernel import quantize_ff_tree
+
+    model = LatentArrayTransformer(in_channels=8, n_heads=2, d_head=16, depth=2)
+    rng = jax.random.PRNGKey(0)
+    params = model.init(rng, jnp.zeros((1, 16, 8)), jnp.ones((1,)))["params"]
+    q = quantize_ff_tree(params)
+    assert set(q) == {"block_0", "block_1"}
+    for blk in q.values():
+        assert set(blk) == {"ff"}
+        assert set(blk["ff"]) == {"w1q", "s1", "w2q", "s2"}
+        assert blk["ff"]["w1q"].dtype == jnp.int8
+    w = params["block_0"]["ff"]["proj_in"]["kernel"]
+    recon = q["block_0"]["ff"]["w1q"].astype(jnp.float32) * q["block_0"]["ff"]["s1"]
+    np.testing.assert_allclose(np.asarray(recon), np.asarray(w), atol=np.abs(w).max() / 200)
+
+
+def test_int8_attn_kernel_accuracy():
+    """int8-projection fused self-attn sublayer vs the f32 composition."""
+    from rald_tpu.ops.attn_kernel import (
+        fused_self_attention_block_int8, quantize_attn_tree,
+    )
+
+    rng = jax.random.PRNGKey(11)
+    b, n, d, heads = 2, 128, 64, 4
+    ks = jax.random.split(rng, 8)
+    x = jax.random.normal(ks[0], (b, n, d), jnp.float32)
+    sc = 0.1 * jax.random.normal(ks[1], (b, 1, d))
+    sh = 0.1 * jax.random.normal(ks[2], (b, 1, d))
+    ws = {name: jax.random.normal(k, (d, d)) * (d ** -0.5)
+          for name, k in zip(("to_q", "to_k", "to_v", "to_out"), ks[3:7])}
+    bo = 0.01 * jax.random.normal(ks[7], (d,))
+
+    import flax.linen as nn
+
+    ln = nn.LayerNorm(epsilon=1e-5, use_bias=False, use_scale=False)
+    h = ln.apply({}, x) * (1 + sc) + sh
+    q, k, v = h @ ws["to_q"], h @ ws["to_k"], h @ ws["to_v"]
+    dh = d // heads
+    qh = q.reshape(b, n, heads, dh).transpose(0, 2, 1, 3)
+    kh = k.reshape(b, n, heads, dh).transpose(0, 2, 1, 3)
+    vh = v.reshape(b, n, heads, dh).transpose(0, 2, 1, 3)
+    att = jax.nn.softmax(qh @ kh.transpose(0, 1, 3, 2) * dh ** -0.5, axis=-1)
+    out = (att @ vh).transpose(0, 2, 1, 3).reshape(b, n, d)
+    ref = np.asarray(x + out @ ws["to_out"] + bo)
+
+    qt = quantize_attn_tree({"attn1": {
+        name: {"kernel": w} for name, w in ws.items()
+    }})["attn1"]
+    got = np.asarray(fused_self_attention_block_int8(
+        x, sc, sh,
+        qt["to_q_q"], qt["to_q_s"], qt["to_k_q"], qt["to_k_s"],
+        qt["to_v_q"], qt["to_v_s"], qt["to_out_q"], qt["to_out_s"],
+        bo, heads=heads, interpret=True,
+    ), np.float32)
+    rel = np.abs(got - ref).max() / np.abs(ref).max()
+    corr = np.corrcoef(got.ravel(), ref.ravel())[0, 1]
+    assert rel < 0.05 and corr > 0.999, (rel, corr)
