@@ -32,8 +32,14 @@ Round-2/3 optimizations (measured in scripts/perf_probe*.py, docs/DESIGN.md):
     bench-only.
   - folded decode tail (decode -25%: values/out-proj/occupancy head collapse
     into a (M,1) folded value vector -> one matvec per query chunk)
-  - Pallas fused GEGLU FF in the DiT blocks (sampler -15%: the (tokens,
-    4096) projection + gated product stay in VMEM instead of HBM)
+  - Pallas fused LN/AdaLN-mod + GEGLU FF + residual in the DiT blocks
+    (sampler -15%: the (tokens, 4096) projection + gated product stay in
+    VMEM instead of HBM), and the same FF fusion in the VAE blocks
+  - int8 quantized inference for the DiT FF + self-attn projections
+    (chain +14%: MXU double-rate 8-bit mode; static per-column weight
+    scales + dynamic per-token activation scales). Mirrors the product
+    path's ``eval.inference.int8_ff / int8_attn``; quality-gated on the
+    trained 480-epoch checkpoint (docs/DESIGN.md "Round 3")
   - AdaLN mod tables indexed by schedule step at every batch size
 
 ``vs_baseline``: the reference repo publishes no numbers (BASELINE.md) and
@@ -59,8 +65,8 @@ import jax.numpy as jnp
 
 REFERENCE_GPU_PC_PER_SEC_EST = 5.5  # frames/s, documented estimate (see docstring)
 
-# Measured-best first (round 2: batch 16 -> 22.94 pc/s); the rest refine.
-BATCH_ORDER = (16, 24, 8, 32, 1)
+# Measured-best first (round 3: batch 16 -> 26.6 pc/s); the rest refine.
+BATCH_ORDER = (16, 20, 24, 8, 32, 1)
 # Stop starting new work past this point; the driver kills us at ~15-18 min.
 WALL_GUARD_S = 480.0
 
@@ -108,6 +114,12 @@ def build():
     model = get_generation_model(
         "kl_d512_m512_l32_d24_edm", mc, dtype=dtype, use_fused_ff=on_tpu
     )
+    if on_tpu:
+        # quantized inference (eval.inference.int8_ff/int8_attn in the
+        # product path) — the 'vout' attn mode keeps q/k bf16: on the
+        # trained 480-epoch checkpoint it is quality-neutral (IoU 0.642 vs
+        # bf16 0.643) where full-attn int8 costs -0.012 IoU (docs/DESIGN.md)
+        model = model.copy(use_int8_ff=True, use_int8_attn="vout")
     vae = get_ae_model(
         "kl_d512_m512_l32_mix", N=10000, dtype=dtype, fold_decode_tail=True,
         use_fused_ff=on_tpu,
@@ -126,20 +138,30 @@ def build():
     num_queries = 500_000
 
     def spectrum_to_pc(params, vae_params, cube, queries, seeds):
-        cond = model.apply({"params": params}, cube, method="process_radar_cond")
+        variables = {"params": params}
+        if model.use_int8_ff or model.use_int8_attn:
+            # static weight quantization runs ONCE here, outside the scan
+            from rald_tpu.ops.attn_kernel import merge_int8_trees, quantize_attn_tree
+            from rald_tpu.ops.geglu_kernel import quantize_ff_tree
+
+            int8 = quantize_ff_tree(params) if model.use_int8_ff else {}
+            if model.use_int8_attn:
+                int8 = merge_int8_trees(int8, quantize_attn_tree(params))
+            variables = {"params": params, "int8": int8}
+        cond = model.apply(variables, cube, method="process_radar_cond")
         latents = sample_prior_latents(seeds, model.n_latents, model.channels)
 
         # the Heun schedule's sigmas are fixed: precompute every block's
         # AdaLN modulations once and index by schedule step inside the scan
         t_steps = karras_sigmas(18)
         table = stack_mod_table(
-            model.apply({"params": params}, t_steps[:-1], method="compute_mod_table")
+            model.apply(variables, t_steps[:-1], method="compute_mod_table")
         )
 
         def denoise_indexed(x, sigma, idx):
             mods = unstack_mods(table[idx])
             return model.apply(
-                {"params": params}, x, sigma, mods, cond, method="denoise_with_mods"
+                variables, x, sigma, mods, cond, method="denoise_with_mods"
             )
 
         tokens = edm_sampler(lambda x, s: None, latents, denoise_indexed=denoise_indexed)

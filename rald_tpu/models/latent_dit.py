@@ -49,8 +49,10 @@ class LatentDiTBlock(nn.Module):
     # (weights per-column static, activations per-token dynamic). Lossy —
     # opt-in, eval-only; requires an "int8" collection built by
     # ops.geglu_kernel.quantize_ff_tree / ops.attn_kernel.quantize_attn_tree.
+    # use_int8_attn: False | True/"full" (all four projections) | "vout"
+    # (v/out only — q/k stay bf16 so no softmax error amplification).
     use_int8_ff: bool = False
-    use_int8_attn: bool = False
+    use_int8_attn: bool | str = False
     dtype: Dtype = jnp.float32
 
     def setup(self):
@@ -81,17 +83,30 @@ class LatentDiTBlock(nn.Module):
             # quantized self-attn sublayer: the four (D, D) projections run
             # int8 on the MXU inside the fused kernel (scores/softmax/values
             # stay f32/bf16) — rald_tpu.ops.attn_kernel
-            from rald_tpu.ops.attn_kernel import fused_self_attention_block_int8
-
             p = self.variables["params"]["attn1"]
             q = self.variables["int8"]["attn1"]
-            x = fused_self_attention_block_int8(
-                x.astype(self.dtype), s1, b1,
-                q["to_q_q"], q["to_q_s"], q["to_k_q"], q["to_k_s"],
-                q["to_v_q"], q["to_v_s"], q["to_out_q"], q["to_out_s"],
-                p["to_out"]["bias"],
-                heads=self.n_heads,
-            )
+            if self.use_int8_attn == "vout":
+                from rald_tpu.ops.attn_kernel import (
+                    fused_self_attention_block_int8_vout,
+                )
+
+                x = fused_self_attention_block_int8_vout(
+                    x.astype(self.dtype), s1, b1,
+                    p["to_q"]["kernel"], p["to_k"]["kernel"],
+                    q["to_v_q"], q["to_v_s"], q["to_out_q"], q["to_out_s"],
+                    p["to_out"]["bias"],
+                    heads=self.n_heads,
+                )
+            else:
+                from rald_tpu.ops.attn_kernel import fused_self_attention_block_int8
+
+                x = fused_self_attention_block_int8(
+                    x.astype(self.dtype), s1, b1,
+                    q["to_q_q"], q["to_q_s"], q["to_k_q"], q["to_k_s"],
+                    q["to_v_q"], q["to_v_s"], q["to_out_q"], q["to_out_s"],
+                    p["to_out"]["bias"],
+                    heads=self.n_heads,
+                )
         elif self.use_fused_attn and not self.is_initializing():
             # whole sublayer (AdaLN mod + LN + MHA + out-proj + residual) in
             # one VMEM-resident Pallas kernel (rald_tpu.ops.attn_kernel)
@@ -155,7 +170,7 @@ class LatentArrayTransformer(nn.Module):
     use_fused_ff: bool = False
     use_fused_attn: bool = False
     use_int8_ff: bool = False
-    use_int8_attn: bool = False
+    use_int8_attn: bool | str = False
     dtype: Dtype = jnp.float32
 
     def setup(self):
@@ -238,7 +253,7 @@ class EDMPrecond(nn.Module):
     use_fused_ff: bool = False
     use_fused_attn: bool = False
     use_int8_ff: bool = False
-    use_int8_attn: bool = False
+    use_int8_attn: bool | str = False
     dtype: Dtype = jnp.float32
 
     def setup(self):

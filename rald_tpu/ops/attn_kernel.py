@@ -280,3 +280,107 @@ def fused_self_attention_block_int8(
         interpret=interpret,
     )(x, scale, shift, wq_q, wq_s, wk_q, wk_s, wv_q, wv_s, wo_q, wo_s,
       bo.reshape(1, -1))
+
+
+def _int8_vout_kernel(x_ref, s_ref, b_ref, wq_ref, wk_ref,
+                      wv_ref, sv_ref, wo_ref, so_ref, bo_ref, o_ref,
+                      *, heads: int, ln_eps: float, scale_shift_mod: bool):
+    """Milder quantization: q/k projections stay bf16 (their error passes
+    through the softmax nonlinearly), only the v and out projections run
+    int8 (their error stays linear through the attention average)."""
+    x = x_ref[0]
+    xf = x.astype(jnp.float32)
+    m = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf), axis=-1, keepdims=True) - jnp.square(m)
+    h = (xf - m) * jax.lax.rsqrt(var + ln_eps)
+    s_row = s_ref[0].astype(jnp.float32)
+    b_row = b_ref[0].astype(jnp.float32)
+    if scale_shift_mod:
+        h = h * (1.0 + s_row) + b_row
+    else:
+        h = h * s_row + b_row
+
+    hb = h.astype(x.dtype)
+    q = jnp.dot(hb, wq_ref[...], preferred_element_type=jnp.float32).astype(x.dtype)
+    k = jnp.dot(hb, wk_ref[...], preferred_element_type=jnp.float32).astype(x.dtype)
+
+    hmax = jnp.maximum(jnp.max(jnp.abs(h), axis=-1, keepdims=True), 1e-6)
+    hq8 = jnp.round(h * (127.0 / hmax)).astype(jnp.int8)
+    acc = jnp.dot(hq8, wv_ref[...], preferred_element_type=jnp.int32)
+    v = (acc.astype(jnp.float32) * (hmax / 127.0) * sv_ref[...]).astype(x.dtype)
+
+    n, d = x.shape
+    dh = d // heads
+    outs = []
+    for hd in range(heads):
+        sl = slice(hd * dh, (hd + 1) * dh)
+        qh, kh, vh = q[:, sl], k[:, sl], v[:, sl]
+        s = jax.lax.dot_general(
+            qh, kh, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * (dh ** -0.5)
+        s = s - jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s)
+        a = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(x.dtype)
+        outs.append(jnp.dot(a, vh, preferred_element_type=jnp.float32))
+    attn_out = jnp.concatenate(outs, axis=-1)
+
+    amax = jnp.maximum(jnp.max(jnp.abs(attn_out), axis=-1, keepdims=True), 1e-6)
+    aq8 = jnp.round(attn_out * (127.0 / amax)).astype(jnp.int8)
+    acc = jnp.dot(aq8, wo_ref[...], preferred_element_type=jnp.int32)
+    y = acc.astype(jnp.float32) * (amax / 127.0) * so_ref[...]
+    y = y + bo_ref[...].astype(jnp.float32) + xf
+    o_ref[0] = y.astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("heads", "ln_eps", "scale_shift_mod", "interpret")
+)
+def fused_self_attention_block_int8_vout(
+    x: jax.Array,
+    scale: jax.Array,
+    shift: jax.Array,
+    wq: jax.Array,
+    wk: jax.Array,
+    wv_q: jax.Array, wv_s: jax.Array,
+    wo_q: jax.Array, wo_s: jax.Array,
+    bo: jax.Array,
+    heads: int = 8,
+    ln_eps: float = 1e-5,
+    scale_shift_mod: bool = True,
+    interpret: bool = False,
+) -> jax.Array:
+    """:func:`fused_self_attention_block_int8` but with bf16 q/k projections
+    (``eval.inference.int8_attn: "vout"``) — half the int8 speedup, but the
+    quantization error stays linear (no softmax amplification)."""
+    b, n, d = x.shape
+    for name, a in (("scale", scale), ("shift", shift)):
+        if a.ndim >= 2 and a.shape[-2] not in (1,):
+            raise ValueError(
+                f"fused_self_attention_block_int8_vout: {name} must be "
+                f"(B, 1, D)-broadcastable, got {a.shape}"
+            )
+    scale = jnp.broadcast_to(scale.astype(x.dtype), (b, 1, d))
+    shift = jnp.broadcast_to(shift.astype(x.dtype), (b, 1, d))
+    wq = wq.astype(x.dtype)
+    wk = wk.astype(x.dtype)
+
+    kernel = functools.partial(
+        _int8_vout_kernel, heads=heads, ln_eps=ln_eps,
+        scale_shift_mod=scale_shift_mod,
+    )
+    wspec = pl.BlockSpec((d, d), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    sspec = pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, n, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            wspec, wspec, wspec, sspec, wspec, sspec,
+            sspec,
+        ],
+        out_specs=pl.BlockSpec((1, n, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, n, d), x.dtype),
+        interpret=interpret,
+    )(x, scale, shift, wq, wk, wv_q, wv_s, wo_q, wo_s, bo.reshape(1, -1))

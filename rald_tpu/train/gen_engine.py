@@ -97,7 +97,14 @@ class GenerationEngine:
         # scripts/perf_probe4.py) — strictly opt-in.
         _inf = cfg.get("eval", {}).get("inference", {})
         int8_ff = bool(_inf.get("int8_ff", False))
-        int8_attn = bool(_inf.get("int8_attn", False))
+        # False | True/"full" | "vout" (v/out projections only — q/k stay
+        # bf16; half the speedup, no softmax error amplification)
+        int8_attn = _inf.get("int8_attn", False)
+        if isinstance(int8_attn, str) and int8_attn not in ("full", "vout"):
+            raise ValueError(
+                f"eval.inference.int8_attn must be bool, 'full' or 'vout', "
+                f"got {int8_attn!r}"
+            )
         self.model_eval = (
             self.model.copy(
                 use_fused_ff=True, use_int8_ff=int8_ff, use_int8_attn=int8_attn

@@ -167,6 +167,7 @@ def e2e():
         ("bf16", dict()),
         ("int8-ff", dict(use_int8_ff=True)),
         ("int8-ff+attn", dict(use_int8_ff=True, use_int8_attn=True)),
+        ("int8-ff+attn-vout", dict(use_int8_ff=True, use_int8_attn="vout")),
     )
     for name, flags in variants:
         model = get_generation_model(

@@ -318,3 +318,47 @@ def test_int8_attn_kernel_accuracy():
     rel = np.abs(got - ref).max() / np.abs(ref).max()
     corr = np.corrcoef(got.ravel(), ref.ravel())[0, 1]
     assert rel < 0.05 and corr > 0.999, (rel, corr)
+
+
+def test_int8_vout_attn_kernel_accuracy():
+    """v/out-only int8 attention (bf16 q/k): tighter than full-int8 since
+    quantization error never passes through the softmax."""
+    from rald_tpu.ops.attn_kernel import (
+        fused_self_attention_block_int8_vout, quantize_attn_tree,
+    )
+
+    rng = jax.random.PRNGKey(12)
+    b, n, d, heads = 2, 128, 64, 4
+    ks = jax.random.split(rng, 8)
+    x = jax.random.normal(ks[0], (b, n, d), jnp.float32)
+    sc = 0.1 * jax.random.normal(ks[1], (b, 1, d))
+    sh = 0.1 * jax.random.normal(ks[2], (b, 1, d))
+    ws = {name: jax.random.normal(k, (d, d)) * (d ** -0.5)
+          for name, k in zip(("to_q", "to_k", "to_v", "to_out"), ks[3:7])}
+    bo = 0.01 * jax.random.normal(ks[7], (d,))
+
+    import flax.linen as nn
+
+    ln = nn.LayerNorm(epsilon=1e-5, use_bias=False, use_scale=False)
+    h = ln.apply({}, x) * (1 + sc) + sh
+    q, k, v = h @ ws["to_q"], h @ ws["to_k"], h @ ws["to_v"]
+    dh = d // heads
+    qh = q.reshape(b, n, heads, dh).transpose(0, 2, 1, 3)
+    kh = k.reshape(b, n, heads, dh).transpose(0, 2, 1, 3)
+    vh = v.reshape(b, n, heads, dh).transpose(0, 2, 1, 3)
+    att = jax.nn.softmax(qh @ kh.transpose(0, 1, 3, 2) * dh ** -0.5, axis=-1)
+    out = (att @ vh).transpose(0, 2, 1, 3).reshape(b, n, d)
+    ref = np.asarray(x + out @ ws["to_out"] + bo)
+
+    qt = quantize_attn_tree({"attn1": {
+        name: {"kernel": w} for name, w in ws.items()
+    }})["attn1"]
+    got = np.asarray(fused_self_attention_block_int8_vout(
+        x, sc, sh,
+        ws["to_q"], ws["to_k"],
+        qt["to_v_q"], qt["to_v_s"], qt["to_out_q"], qt["to_out_s"],
+        bo, heads=heads, interpret=True,
+    ), np.float32)
+    rel = np.abs(got - ref).max() / np.abs(ref).max()
+    corr = np.corrcoef(got.ravel(), ref.ravel())[0, 1]
+    assert rel < 0.03 and corr > 0.9995, (rel, corr)
