@@ -57,12 +57,11 @@ def get_ae_model(
     dtype: Dtype = jnp.float32,
     use_fused_ff: bool = False,
     fold_decode_tail: bool = False,
-    int8_decode: bool = False,
 ) -> VecSetVAE:
     kw = dict(AE_VARIANTS[name])
     return create_autoencoder(
         N=N, dtype=dtype, use_fused_ff=use_fused_ff,
-        fold_decode_tail=fold_decode_tail, int8_decode=int8_decode, **kw
+        fold_decode_tail=fold_decode_tail, **kw
     )
 
 

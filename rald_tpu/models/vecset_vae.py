@@ -100,12 +100,6 @@ class VecSetVAE(nn.Module):
     query_chunk: int = 65536
     use_fused_ff: bool = False  # Pallas fused GEGLU FF in the self-attn stack (TPU inference)
     fold_decode_tail: bool = False  # fold values/out-proj/occupancy head (inference)
-    # quantized decode (needs fold_decode_tail): the q-projection and the
-    # query-latent score matmul run int8 x int8 -> int32 on the MXU
-    # (static per-column / per-latent weight scales, dynamic per-query
-    # activation scales); softmax + folded matvec stay f32. XLA-level — the
-    # quant ops fuse into the streaming decode, no Pallas needed.
-    int8_decode: bool = False
     dtype: Dtype = jnp.float32
 
     def setup(self):
@@ -270,27 +264,6 @@ class VecSetVAE(nn.Module):
 
         scale = float(self.queries_dim) ** -0.5
 
-        if self.int8_decode:
-            # int8 q-proj + scores inside the fused Pallas kernel. An
-            # XLA-level int8 rewrite of this tail was measured 50% SLOWER
-            # than bf16 XLA (scripts/perf_probe5.py — the dynamic-quant
-            # elementwise ops break XLA's matmul pipelining), so the int8
-            # decode goes through Pallas even though the bf16 Pallas decode
-            # lost to XLA (docs/DESIGN.md).
-            from rald_tpu.nn.layers import point_fourier_basis
-            from rald_tpu.ops.fold_decode_int8 import fused_fold_decode_int8
-
-            p_ = self.variables["params"]
-            pe = p_["point_embed"]["mlp"]
-            ln = p_["dec_norm_q"]
-            logits = fused_fold_decode_int8(
-                queries,
-                jnp.asarray(point_fourier_basis(self.point_embed.hidden_dim)),
-                pe["kernel"], pe["bias"], ln["scale"], ln["bias"], wq,
-                k, v_fold[..., 0] + bias,
-            )
-            return logits[..., None]
-
         def tail(q_blk: jax.Array) -> jax.Array:
             q_emb = self.dec_norm_q(self.point_embed(q_blk))
             q = q_emb @ wq.astype(self.dtype)
@@ -328,7 +301,6 @@ def create_autoencoder(
     query_type: str = "point",
     use_fused_ff: bool = False,
     fold_decode_tail: bool = False,
-    int8_decode: bool = False,
     dtype: Dtype = jnp.float32,
 ) -> VecSetVAE:
     """Factory matching reference ``create_autoencoder`` (models_ae.py:434-459)."""
@@ -346,6 +318,5 @@ def create_autoencoder(
         deterministic_latent=deterministic,
         use_fused_ff=use_fused_ff,
         fold_decode_tail=fold_decode_tail,
-        int8_decode=int8_decode,
         dtype=dtype,
     )
