@@ -121,31 +121,12 @@ class LatentDiTBlock(nn.Module):
             )
         else:
             x = x + self.attn1(self.norm1.apply_mod(x, s1, b1), deterministic=deterministic)
-        if (self.use_int8_attn and cond is not None and not self.is_initializing()
-                and "int8" in self.variables
-                and "attn2" in self.variables["int8"]):
-            # fused cross-attn sublayer, int8 out-projection (the only cross
-            # projection with linear quantization error; q/k stay bf16 in
-            # BOTH int8 modes). Context k/v are computed here from the
-            # loop-invariant cond tokens — XLA hoists them out of the
-            # sampler's NFE scan (verified neutral to hoist manually).
-            from rald_tpu.ops.attn_kernel import fused_cross_attention_block_int8_out
-
-            p2 = self.variables["params"]["attn2"]
-            q2 = self.variables["int8"]["attn2"]
-            c = cond.astype(self.dtype)
-            k_ctx = c @ p2["to_k"]["kernel"].astype(self.dtype)
-            v_ctx = c @ p2["to_v"]["kernel"].astype(self.dtype)
-            x = fused_cross_attention_block_int8_out(
-                x.astype(self.dtype), s2, b2,
-                p2["to_q"]["kernel"], k_ctx, v_ctx,
-                q2["to_out_q"], q2["to_out_s"], p2["to_out"]["bias"],
-                heads=self.n_heads,
-            )
-        else:
-            x = x + self.attn2(
-                self.norm2.apply_mod(x, s2, b2), context=cond, deterministic=deterministic
-            )
+        # cross-attn stays on XLA's einsum path: a fused int8-out sublayer
+        # kernel was measured 26 ms SLOWER at batch 16 (docs/DESIGN.md
+        # "int8/fused cross-attn: measured dead end")
+        x = x + self.attn2(
+            self.norm2.apply_mod(x, s2, b2), context=cond, deterministic=deterministic
+        )
         if self.use_fused_ff and not self.is_initializing():
             # whole FF sublayer (AdaLN mod + LN + GEGLU FF + residual) in one
             # VMEM-resident Pallas kernel: the LN output and modulated

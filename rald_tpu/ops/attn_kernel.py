@@ -189,13 +189,13 @@ def _int8_kernel(x_ref, s_ref, b_ref, wq_ref, sq_ref, wk_ref, sk_ref,
 
 
 def quantize_attn_tree(params) -> dict:
-    """Mirror ``"int8"`` collection for attention projections: every
+    """Mirror ``"int8"`` collection for self-attention projections: every
     ``attn1`` node carrying ``to_q/to_k/to_v/to_out`` Dense kernels gains
-    per-output-column int8 weights + f32 scales at the same tree path, and
-    every ``attn2`` (cross-attention) node gains an int8 ``to_out`` (the only
-    cross projection whose quantization error stays linear — see
-    :func:`fused_cross_attention_block_int8_out`).
-    Compose with ops.geglu_kernel.quantize_ff_tree via a dict merge."""
+    per-output-column int8 weights + f32 scales at the same tree path.
+    Compose with ops.geglu_kernel.quantize_ff_tree via a dict merge.
+    (Cross-attention ``attn2`` is deliberately NOT quantized: a fused
+    int8-out cross-attn kernel measured slower than XLA's einsum path —
+    docs/DESIGN.md round 3.)"""
     from rald_tpu.ops.geglu_kernel import quantize_cols
 
     def walk(d):
@@ -212,9 +212,6 @@ def quantize_attn_tree(params) -> dict:
                     node[proj + "_q"] = wq8
                     node[proj + "_s"] = s
                 out[k] = node
-            elif k == "attn2" and "to_out" in v:
-                wq8, s = quantize_cols(v["to_out"]["kernel"])
-                out[k] = {"to_out_q": wq8, "to_out_s": s}
             else:
                 sub = walk(v)
                 if sub:
@@ -390,110 +387,3 @@ def fused_self_attention_block_int8_vout(
         out_shape=jax.ShapeDtypeStruct((b, n, d), x.dtype),
         interpret=interpret,
     )(x, scale, shift, wq, wk, wv_q, wv_s, wo_q, wo_s, bo.reshape(1, -1))
-
-
-def _xattn_int8_kernel(x_ref, s_ref, b_ref, wq_ref, k_ref, v_ref,
-                       wo_ref, so_ref, bo_ref, o_ref,
-                       *, heads: int, ln_eps: float):
-    """Fused cross-attention sublayer with int8 out-projection.
-
-    Per batch element: AdaLN-modulated LN, bf16 q projection, all heads'
-    attention over the PRE-PROJECTED context keys/values (k_ref/v_ref —
-    per-frame loop-invariant, computed once outside the NFE scan), then the
-    out-projection in int8 (per-row dynamic activation scales x static
-    per-column weight scales — linear error, same class as the "vout"
-    self-attn kernel) and the residual add. q, scores, softmax and the
-    attention output never touch HBM.
-    """
-    x = x_ref[0]  # (N, D)
-    xf = x.astype(jnp.float32)
-    m = jnp.mean(xf, axis=-1, keepdims=True)
-    var = jnp.mean(jnp.square(xf), axis=-1, keepdims=True) - jnp.square(m)
-    h = (xf - m) * jax.lax.rsqrt(var + ln_eps)
-    h = h * (1.0 + s_ref[0].astype(jnp.float32)) + b_ref[0].astype(jnp.float32)
-    hb = h.astype(x.dtype)
-
-    q = jnp.dot(hb, wq_ref[...], preferred_element_type=jnp.float32).astype(x.dtype)
-    k = k_ref[0]  # (Mc, D) bf16
-    v = v_ref[0]
-
-    n, d = x.shape
-    dh = d // heads
-    outs = []
-    for hd in range(heads):
-        sl = slice(hd * dh, (hd + 1) * dh)
-        qh, kh, vh = q[:, sl], k[:, sl], v[:, sl]
-        s = jax.lax.dot_general(
-            qh, kh, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * (dh ** -0.5)
-        s = s - jnp.max(s, axis=-1, keepdims=True)
-        e = jnp.exp(s)
-        a = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(x.dtype)
-        outs.append(jnp.dot(a, vh, preferred_element_type=jnp.float32))
-    attn_out = jnp.concatenate(outs, axis=-1)  # (N, D) f32
-
-    amax = jnp.maximum(jnp.max(jnp.abs(attn_out), axis=-1, keepdims=True), 1e-6)
-    aq8 = jnp.round(attn_out * (127.0 / amax)).astype(jnp.int8)
-    acc = jnp.dot(aq8, wo_ref[...], preferred_element_type=jnp.int32)
-    y = acc.astype(jnp.float32) * (amax / 127.0) * so_ref[...]
-    y = y + bo_ref[...].astype(jnp.float32) + xf  # residual
-    o_ref[0] = y.astype(o_ref.dtype)
-
-
-@functools.partial(jax.jit, static_argnames=("heads", "ln_eps", "interpret"))
-def fused_cross_attention_block_int8_out(
-    x: jax.Array,
-    scale: jax.Array,
-    shift: jax.Array,
-    wq: jax.Array,
-    k_ctx: jax.Array,
-    v_ctx: jax.Array,
-    wo_q: jax.Array, wo_s: jax.Array,
-    bo: jax.Array,
-    heads: int = 8,
-    ln_eps: float = 1e-5,
-    interpret: bool = False,
-) -> jax.Array:
-    """``x + Wo_int8 @ MHA(mod(LN(x)), k_ctx, v_ctx)`` fused per batch element.
-
-    x: (B, N, D); scale/shift: (B, 1, D) AdaLN modulation; wq: (D, D) bf16;
-    k_ctx/v_ctx: (B, Mc, D) pre-projected context keys/values (compute them
-    once per frame with the block's to_k/to_v — the DiT's radar-cond tokens
-    are loop-invariant across the sampler's NFEs, reference
-    models_radar_generation.py:412-415 recomputes them every forward);
-    wo_q/wo_s: int8 weight + (1, D) f32 column scales; bo: (D,).
-    N, D must be 128-aligned; Mc a multiple of 8.
-    """
-    b, n, d = x.shape
-    mc = k_ctx.shape[1]
-    for name, a in (("scale", scale), ("shift", shift)):
-        if a.ndim >= 2 and a.shape[-2] not in (1,):
-            raise ValueError(
-                f"fused_cross_attention_block_int8_out: {name} must be "
-                f"(B, 1, D)-broadcastable, got {a.shape}"
-            )
-    scale = jnp.broadcast_to(scale.astype(x.dtype), (b, 1, d))
-    shift = jnp.broadcast_to(shift.astype(x.dtype), (b, 1, d))
-    wq = wq.astype(x.dtype)
-    k_ctx = k_ctx.astype(x.dtype)
-    v_ctx = v_ctx.astype(x.dtype)
-
-    kernel = functools.partial(_xattn_int8_kernel, heads=heads, ln_eps=ln_eps)
-    wspec = pl.BlockSpec((d, d), lambda i: (0, 0), memory_space=pltpu.VMEM)
-    sspec = pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM)
-    return pl.pallas_call(
-        kernel,
-        grid=(b,),
-        in_specs=[
-            pl.BlockSpec((1, n, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            wspec,
-            pl.BlockSpec((1, mc, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, mc, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            wspec, sspec, sspec,
-        ],
-        out_specs=pl.BlockSpec((1, n, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, n, d), x.dtype),
-        interpret=interpret,
-    )(x, scale, shift, wq, k_ctx, v_ctx, wo_q, wo_s, bo.reshape(1, -1))

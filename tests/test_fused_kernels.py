@@ -362,64 +362,3 @@ def test_int8_vout_attn_kernel_accuracy():
     rel = np.abs(got - ref).max() / np.abs(ref).max()
     corr = np.corrcoef(got.ravel(), ref.ravel())[0, 1]
     assert rel < 0.03 and corr > 0.9995, (rel, corr)
-
-
-def test_int8_cross_attn_kernel_accuracy():
-    """Fused cross-attn sublayer (int8 out-projection, bf16 q + pre-projected
-    context k/v) vs the f32 composition."""
-    from rald_tpu.ops.attn_kernel import (
-        fused_cross_attention_block_int8_out, quantize_attn_tree,
-    )
-
-    rng = jax.random.PRNGKey(21)
-    b, n, mc, d, heads = 2, 128, 16, 64, 4
-    ks = jax.random.split(rng, 9)
-    x = jax.random.normal(ks[0], (b, n, d), jnp.float32)
-    cond = jax.random.normal(ks[1], (b, mc, d), jnp.float32)
-    sc = 0.1 * jax.random.normal(ks[2], (b, 1, d))
-    sh = 0.1 * jax.random.normal(ks[3], (b, 1, d))
-    ws = {name: jax.random.normal(k, (d, d)) * (d ** -0.5)
-          for name, k in zip(("to_q", "to_k", "to_v", "to_out"), ks[4:8])}
-    bo = 0.01 * jax.random.normal(ks[8], (d,))
-
-    import flax.linen as nn
-
-    ln = nn.LayerNorm(epsilon=1e-5, use_bias=False, use_scale=False)
-    h = ln.apply({}, x) * (1 + sc) + sh
-    q = h @ ws["to_q"]
-    k = cond @ ws["to_k"]
-    v = cond @ ws["to_v"]
-    dh = d // heads
-    qh = q.reshape(b, n, heads, dh).transpose(0, 2, 1, 3)
-    kh = k.reshape(b, mc, heads, dh).transpose(0, 2, 1, 3)
-    vh = v.reshape(b, mc, heads, dh).transpose(0, 2, 1, 3)
-    att = jax.nn.softmax(qh @ kh.transpose(0, 1, 3, 2) * dh ** -0.5, axis=-1)
-    out = (att @ vh).transpose(0, 2, 1, 3).reshape(b, n, d)
-    ref = np.asarray(x + out @ ws["to_out"] + bo)
-
-    qt = quantize_attn_tree({"attn2": {
-        name: {"kernel": w} for name, w in ws.items()
-    }})["attn2"]
-    got = np.asarray(fused_cross_attention_block_int8_out(
-        x, sc, sh, ws["to_q"], k, v,
-        qt["to_out_q"], qt["to_out_s"], bo, heads=heads, interpret=True,
-    ), np.float32)
-    rel = np.abs(got - ref).max() / np.abs(ref).max()
-    corr = np.corrcoef(got.ravel(), ref.ravel())[0, 1]
-    assert rel < 0.03 and corr > 0.9995, (rel, corr)
-
-
-def test_quantize_attn_tree_covers_cross_out():
-    """attn2 nodes gain an int8 to_out (and only to_out)."""
-    from rald_tpu.ops.attn_kernel import quantize_attn_tree
-
-    rng = jax.random.PRNGKey(3)
-    w = jax.random.normal(rng, (8, 8))
-    tree = {"block_0": {
-        "attn1": {name: {"kernel": w} for name in ("to_q", "to_k", "to_v", "to_out")},
-        "attn2": {name: {"kernel": w} for name in ("to_q", "to_k", "to_v", "to_out")},
-    }}
-    qt = quantize_attn_tree(tree)["block_0"]
-    assert set(qt["attn1"]) == {f"{p}_{s}" for p in ("to_q", "to_k", "to_v", "to_out")
-                                for s in ("q", "s")}
-    assert set(qt["attn2"]) == {"to_out_q", "to_out_s"}
