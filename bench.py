@@ -65,8 +65,10 @@ import jax.numpy as jnp
 
 REFERENCE_GPU_PC_PER_SEC_EST = 5.5  # frames/s, documented estimate (see docstring)
 
-# Measured-best first (round 3: batch 16 -> 26.6 pc/s); the rest refine.
-BATCH_ORDER = (16, 20, 24, 8, 32, 1)
+# Measured-best first (round 3 final state: batch 24 -> 27.81 pc/s edges out
+# batch 16 -> 27.38 once the decode folds + 8-deep pipelining land; swept
+# {1,8,12,14,16,18,20,24,32} across optimization states); the rest refine.
+BATCH_ORDER = (24, 16, 8, 32, 1)
 # Stop starting new work past this point; the driver kills us at ~15-18 min.
 WALL_GUARD_S = 480.0
 
@@ -180,7 +182,7 @@ def _sync(out):
     return np.asarray(out[:, 0])
 
 
-def bench_batch(fn, params, vae_params, num_queries, batch, iters=3, pipeline=4):
+def bench_batch(fn, params, vae_params, num_queries, batch, iters=3, pipeline=8):
     rng = jax.random.PRNGKey(1)
     cube = jax.random.normal(rng, (batch, 128, 64, 32, 3), jnp.float32)
     queries = jax.random.uniform(
