@@ -214,11 +214,22 @@ def bench_sampler_only(model, params):
     from rald_tpu.diffusion.edm import edm_sampler, sample_prior_latents
 
     rng = jax.random.PRNGKey(0)
-    cond = model.apply({"params": params},
+    extra = {}
+    if model.use_int8_ff or model.use_int8_attn:
+        # match the chain's int8 operating point (absent the collection the
+        # model silently falls back to bf16 and this metric would mismeasure)
+        from rald_tpu.ops.attn_kernel import merge_int8_trees, quantize_attn_tree
+        from rald_tpu.ops.geglu_kernel import quantize_ff_tree
+
+        int8 = quantize_ff_tree(params) if model.use_int8_ff else {}
+        if model.use_int8_attn:
+            int8 = merge_int8_trees(int8, quantize_attn_tree(params))
+        extra = {"int8": int8}
+    cond = model.apply({"params": params, **extra},
                        jax.random.normal(rng, (8, 128, 64, 32, 3)),
                        method="process_radar_cond")
     samp = jax.jit(lambda p, c, s: edm_sampler(
-        lambda x, sg: model.apply({"params": p}, x, sg, c, method="denoise"),
+        lambda x, sg: model.apply({"params": p, **extra}, x, sg, c, method="denoise"),
         sample_prior_latents(s, model.n_latents, model.channels)))
     seeds = jnp.arange(8)
     np.asarray(samp(params, cond, seeds)[:1, :1, :1])
