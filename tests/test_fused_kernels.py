@@ -219,6 +219,33 @@ def test_fold_decode_tail_exact_algebra():
     np.testing.assert_allclose(unfolded, folded, rtol=1e-12)
 
 
+def test_constant_shift_softmax_ratio():
+    """The decode tail's constant-shift exp (``exp(clip(sim,-45,80) - 40)``)
+    yields the same numerator/denominator ratio as the row-max softmax shift
+    for all logits inside the clip window, including rows pinned at the
+    edges (all ~-45, all ~80, and maximal spread)."""
+    rng = np.random.default_rng(1)
+    m = 512
+    rows = np.stack([
+        rng.uniform(-30, 30, m),            # trained-logit regime
+        np.full(m, -45.0) + rng.uniform(0, 1e-3, m),   # all at the low edge
+        np.full(m, 80.0) - rng.uniform(0, 1e-3, m),    # all at the high edge
+        rng.uniform(-45, 80, m),            # maximal in-window spread
+    ]).astype(np.float32)
+    v2 = rng.standard_normal((m, 2)).astype(np.float32)
+    v2[:, 1] = np.abs(v2[:, 1]) + 0.5  # denominator column positive
+
+    e_ref = np.exp(rows - rows.max(-1, keepdims=True))
+    nd = e_ref @ v2
+    ref = nd[:, 0] / nd[:, 1]
+
+    e_shift = np.exp(np.clip(rows, -45.0, 80.0) - 40.0)
+    assert np.all(np.isfinite(e_shift)) and np.all(e_shift > 0)  # no FTZ/overflow
+    nd2 = e_shift @ v2
+    got = nd2[:, 0] / nd2[:, 1]
+    np.testing.assert_allclose(got, ref, rtol=2e-5, atol=1e-7)
+
+
 
 
 def test_int8_ff_kernel_accuracy():
