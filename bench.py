@@ -66,10 +66,13 @@ import jax.numpy as jnp
 
 REFERENCE_GPU_PC_PER_SEC_EST = 5.5  # frames/s, documented estimate (see docstring)
 
-# Measured-best first (round 3 final state: batch 24 -> 27.81 pc/s edges out
-# batch 16 -> 27.38 once the decode folds + 8-deep pipelining land; swept
-# {1,8,12,14,16,18,20,24,32} across optimization states); the rest refine.
-BATCH_ORDER = (24, 16, 8, 32, 1)
+# Measured-best first. Late round-3 sweep with every decode fold + 8-deep
+# pipelining in place: 16 -> 27.37, 24 -> 27.80, 28 -> 27.28, 32 -> 28.00,
+# 40 -> 27.86, 48 -> 28.06, 64 -> 27.52 pc/s — the round-2 "batch-32 sampler
+# regression" washed out once the decode folds landed, and the curve
+# plateaus at ~28.0 over batch 32-48. 32 first (fastest to confirm), 48
+# second (statistically tied best); the rest refine under the wall guard.
+BATCH_ORDER = (32, 48, 24, 16, 8, 1)
 # Stop starting new work past this point; the driver kills us at ~15-18 min.
 # Overridable so a long cache-priming run (which compiles every batch size
 # into the persistent XLA cache for the driver's subsequent timed run) can
@@ -94,12 +97,6 @@ def emit(best_pc_per_sec):
         "unit": "pc/s (spectrum->500k-query point cloud, 35-NFE EDM)",
         "vs_baseline": round(best_pc_per_sec / REFERENCE_GPU_PC_PER_SEC_EST, 3),
     }), flush=True)
-
-
-def cast_bf16(tree):
-    return jax.tree_util.tree_map(
-        lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a, tree
-    )
 
 
 def build():
@@ -131,14 +128,39 @@ def build():
         use_fused_ff=on_tpu,
     )
 
+    # Host-side init: running the real flax init would jit-compile two more
+    # full-size XLA programs (minutes each on a cold cache) just to produce
+    # values — but TPU throughput is value-independent (no sparsity
+    # short-circuits), so eval_shape the param structure and fill it with
+    # small host randoms instead. Cuts the cold-cache build phase from
+    # ~7 min to the trace time.
+    import numpy as np
+
     rng = jax.random.PRNGKey(0)
     x0 = jnp.zeros((1, 512, 32), jnp.float32)
     cube0 = jnp.zeros((1, 128, 64, 32, 3), jnp.float32)
-    params = cast_bf16(model.init(rng, x0, jnp.ones((1,)), cube0)["params"])
     pc0 = jnp.zeros((1, 10000, 3), jnp.float32)
     q0 = jnp.zeros((1, 64, 3), jnp.float32)
-    vae_params = cast_bf16(
-        vae.init({"params": rng, "latent": jax.random.fold_in(rng, 1)}, pc0, q0)["params"]
+
+    host_rng = np.random.default_rng(0)
+
+    def host_init(tree_shapes):
+        def leaf(s):
+            # same policy as the product path's cast_params_bf16: f32 params
+            # ride as bf16, others keep their dtype
+            target = jnp.bfloat16 if s.dtype == jnp.float32 else s.dtype
+            a = host_rng.standard_normal(s.shape, dtype=np.float32) * 0.02
+            return jnp.asarray(a.astype(target))
+
+        return jax.tree_util.tree_map(leaf, tree_shapes)
+
+    params = host_init(
+        jax.eval_shape(model.init, rng, x0, jnp.ones((1,)), cube0)["params"]
+    )
+    vae_params = host_init(
+        jax.eval_shape(
+            vae.init, {"params": rng, "latent": jax.random.fold_in(rng, 1)}, pc0, q0
+        )["params"]
     )
 
     num_queries = 500_000
