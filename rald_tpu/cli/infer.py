@@ -122,20 +122,16 @@ def run(cfg: Config, inputs: str, out_dir: str, batch: int = 0,
             cubes = np.concatenate([cubes, np.repeat(cubes[-1:], pad, axis=0)])
         cube_dev = jax.device_put(cubes)
         if engine.frozen_radar_enc:
-            cube_dev = engine._radar_encode(radar_enc_params, cube_dev)
+            cube_dev = engine.encode_radar(radar_enc_params, cube_dev)
         seeds = jnp.arange(start, start + bsz)
-        tokens = engine._sample(params, cube_dev, seeds)
+        tokens = engine.sample_tokens(params, cube_dev, seeds)
         grid_np = np.broadcast_to(grid, (bsz, num_query, 3)).copy()
         if engine.shard_queries:
-            n_dev = engine.mesh.devices.size
-            pad_q = (-num_query) % n_dev
+            pad_q = (-num_query) % engine.mesh.devices.size
             if pad_q:  # duplicate-pad for even shards; trimmed below
                 grid_np = np.concatenate([grid_np, grid_np[:, :pad_q]], axis=1)
-            logits = np.asarray(engine._decode_query_sharded(
-                vae_params, tokens, jax.device_put(grid_np)))[:, :num_query]
-        else:
-            logits = np.asarray(engine._decode(vae_params, tokens,
-                                               jax.device_put(grid_np)))
+        logits = np.asarray(engine.decode_queries(
+            vae_params, tokens, jax.device_put(grid_np)))[:, :num_query]
         for i, f in enumerate(chunk):
             pred = geo.inverse_norm_points(grid[logits[i] > threshold],
                                            lidar.pc_range, aniso, iso)

@@ -372,6 +372,19 @@ class GenerationEngine:
     def sample_tokens(self, params, radar_cube, seeds):
         return self._sample(params, radar_cube, seeds)
 
+    def decode_queries(self, vae_params, tokens, queries):
+        """Public decode for external drivers (cli/infer.py): query-sharded
+        over the mesh when ``eval.inference.shard_queries`` is set (query
+        count must then be a multiple of the mesh size), plain jit otherwise.
+        """
+        if self.shard_queries:
+            return self._decode_query_sharded(vae_params, tokens, queries)
+        return self._decode(vae_params, tokens, queries)
+
+    def encode_radar(self, radar_enc_params, radar_cube):
+        """Public frozen-encoder forward for external drivers."""
+        return self._radar_encode(radar_enc_params, radar_cube)
+
     # ------------------------------------------------------------ epoch loops
     def train_one_epoch(
         self,

@@ -65,6 +65,15 @@ def test_infer_cli_end_to_end(synth_root, tmp_path):
     pts = read_ply(out / "0000.ply")
     assert pts.ndim == 2 and pts.shape[1] == 3
 
+    # sharded grid decode over the 8-device CPU mesh, with a query count
+    # that is NOT a multiple of the mesh size (exercises the pad/trim)
+    cfg.eval.inference.shard_queries = True
+    cfg.eval.inference.num_query_points = 510
+    out2 = tmp_path / "pred_sharded"
+    stats2 = run(cfg, str(cubes), str(out2), batch=2, print_fn=lambda *a: None)
+    assert stats2["files"] == 3
+    assert sorted(p.name for p in out2.glob("*.ply")) == plys
+
 
 def test_infer_rejects_empty_input(tmp_path, synth_root):
     from rald_tpu.cli.infer import collect_inputs
