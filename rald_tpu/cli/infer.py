@@ -64,7 +64,7 @@ def run(cfg: Config, inputs: str, out_dir: str, batch: int = 0,
     enable_compilation_cache()
     if cfg.system.get("matmul_precision"):
         jax.config.update("jax_default_matmul_precision", cfg.system.matmul_precision)
-    init_distributed()
+    info = init_distributed()
     mesh = make_mesh()
 
     engine = GenerationEngine(cfg, mesh)
@@ -108,6 +108,12 @@ def run(cfg: Config, inputs: str, out_dir: str, batch: int = 0,
     grid = np.asarray(grid, np.float32)
 
     files = collect_inputs(inputs)
+    if info["world_size"] > 1:
+        # multi-host: each process takes an interleaved slice of the file
+        # list (same pattern as ShardedSampler without shuffling) and writes
+        # its own outputs — no cross-host coordination needed
+        files = files[info["rank"]::info["world_size"]]
+        print_fn(f"rank {info['rank']}/{info['world_size']}: {len(files)} files")
     bsz = batch or int(cfg.dataset.get("eval_batch_size", 1))
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
@@ -123,7 +129,9 @@ def run(cfg: Config, inputs: str, out_dir: str, batch: int = 0,
         cube_dev = jax.device_put(cubes)
         if engine.frozen_radar_enc:
             cube_dev = engine.encode_radar(radar_enc_params, cube_dev)
-        seeds = jnp.arange(start, start + bsz)
+        # seed by GLOBAL file index (rank + world*local) so a frame's prior
+        # noise doesn't depend on how many hosts share the job
+        seeds = jnp.arange(start, start + bsz) * info["world_size"] + info["rank"]
         tokens = engine.sample_tokens(params, cube_dev, seeds)
         grid_np = np.broadcast_to(grid, (bsz, num_query, 3)).copy()
         if engine.shard_queries:
