@@ -91,12 +91,41 @@ def masked_chamfer(
     return jnp.where(jnp.sum(pred_mask) == 0, jnp.inf, cd)
 
 
-def chamfer_distance(pred: np.ndarray, gt: np.ndarray) -> float:
-    """Host API matching ``cal_metrics`` (utils/utils.py:116-137)."""
-    pred = np.asarray(pred, np.float32).reshape(-1, 3)
-    gt = np.asarray(gt, np.float32).reshape(-1, 3)
-    if len(pred) == 0:
-        return float("inf")
+@partial(jax.jit, static_argnames=("chunk_a", "chunk_b"))
+def masked_chamfer_fscore(
+    pred: jax.Array,
+    pred_mask: jax.Array,
+    gt: jax.Array,
+    gt_mask: jax.Array,
+    tau: jax.Array,
+    chunk_a: int = 4096,
+    chunk_b: int = 65536,
+):
+    """Chamfer + F-score@tau from ONE pair of nearest-neighbor passes.
+
+    F-score is the standard point-cloud metric the RaLD paper reports (the
+    reference code computes only Chamfer, utils/utils.py:116-142): precision
+    = fraction of predicted points within ``tau`` of GT, recall = fraction
+    of GT points within ``tau`` of the prediction, F = 2PR/(P+R) (0 when an
+    empty prediction makes both vacuous).
+    """
+    pred_valid = jnp.where(pred_mask[:, None], pred, _BIG)
+    gt_valid = jnp.where(gt_mask[:, None], gt, _BIG)
+    d_pg = nearest_neighbor_dists(pred, gt_valid, chunk_a, chunk_b)
+    d_gp = nearest_neighbor_dists(gt, pred_valid, chunk_a, chunk_b)
+    n_pred = jnp.maximum(jnp.sum(pred_mask), 1)
+    n_gt = jnp.maximum(jnp.sum(gt_mask), 1)
+    mean_pg = jnp.sum(jnp.where(pred_mask, d_pg, 0.0)) / n_pred
+    mean_gp = jnp.sum(jnp.where(gt_mask, d_gp, 0.0)) / n_gt
+    cd = 0.5 * mean_pg + 0.5 * mean_gp
+    precision = jnp.sum(jnp.where(pred_mask, (d_pg < tau).astype(jnp.float32), 0.0)) / n_pred
+    recall = jnp.sum(jnp.where(gt_mask, (d_gp < tau).astype(jnp.float32), 0.0)) / n_gt
+    f = jnp.where(precision + recall > 0, 2 * precision * recall / (precision + recall), 0.0)
+    empty = jnp.sum(pred_mask) == 0
+    return jnp.where(empty, jnp.inf, cd), jnp.where(empty, 0.0, f)
+
+
+def _pad_pow2(pred: np.ndarray, gt: np.ndarray):
     # pad to powers of two to bound the number of jit specializations
     cap_p = max(8, 1 << (len(pred) - 1).bit_length())
     cap_g = max(8, 1 << (len(gt) - 1).bit_length())
@@ -106,4 +135,23 @@ def chamfer_distance(pred: np.ndarray, gt: np.ndarray) -> float:
     gt_pad[: len(gt)] = gt
     mask_p = np.arange(cap_p) < len(pred)
     mask_g = np.arange(cap_g) < len(gt)
-    return float(masked_chamfer(pred_pad, mask_p, gt_pad, mask_g))
+    return pred_pad, mask_p, gt_pad, mask_g
+
+
+def chamfer_distance(pred: np.ndarray, gt: np.ndarray) -> float:
+    """Host API matching ``cal_metrics`` (utils/utils.py:116-137)."""
+    pred = np.asarray(pred, np.float32).reshape(-1, 3)
+    gt = np.asarray(gt, np.float32).reshape(-1, 3)
+    if len(pred) == 0:
+        return float("inf")
+    return float(masked_chamfer(*_pad_pow2(pred, gt)))
+
+
+def chamfer_and_fscore(pred: np.ndarray, gt: np.ndarray, tau: float) -> tuple:
+    """Host API: (Chamfer, F-score@tau) for ragged clouds, one NN pass each way."""
+    pred = np.asarray(pred, np.float32).reshape(-1, 3)
+    gt = np.asarray(gt, np.float32).reshape(-1, 3)
+    if len(pred) == 0:
+        return float("inf"), 0.0
+    cd, f = masked_chamfer_fscore(*_pad_pow2(pred, gt), jnp.float32(tau))
+    return float(cd), float(f)

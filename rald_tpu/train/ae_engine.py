@@ -33,7 +33,7 @@ import numpy as np
 import optax
 
 from rald_tpu import geometry as geo
-from rald_tpu.eval.chamfer import chamfer_distance
+from rald_tpu.eval.chamfer import chamfer_and_fscore, chamfer_distance
 from rald_tpu.eval.occupancy import occupancy_metrics
 from rald_tpu.eval.queries import generate_query_points, generate_query_points_cart
 from rald_tpu.models.registry import get_ae_model
@@ -59,6 +59,9 @@ class AEEngine:
         lidar = cfg.dataset.lidar
         self.num_samples = int(lidar.num_samples)
         self.in_voxel_num = int(self.num_samples * float(lidar.query_ratio))
+        # F-score distance threshold in metres (paper metric; extension —
+        # the reference computes only Chamfer)
+        self.fscore_tau = float(cfg.get("eval", {}).get("fscore_tau", 0.1))
         # reference sizes the model from lidar_ae.point_cloud_size (an anchor
         # to num_samples in the shipped configs; main_ae.py:102)
         n_model = int(cfg.lidar_ae.get("point_cloud_size", self.num_samples))
@@ -266,7 +269,7 @@ class AEEngine:
             )
             logger.update(**{k: float(v) for k, v in metrics.items()})
             logits = np.asarray(logits)
-            cds = []
+            cds, fscores = [], []
             for i in range(bsz):
                 pos = grid[logits[i] > 0]
                 pred = geo.inverse_norm_points(pos, lidar.pc_range, lidar.norm_anisotropy, lidar.norm_isotropy)
@@ -276,14 +279,17 @@ class AEEngine:
                 if lidar.get("view_cone_mode", False):
                     pred = geo.polar2cartesian(pred)
                     gt = geo.polar2cartesian(gt)
-                cds.append(chamfer_distance(pred, gt))
-            logger.update(cd=float(np.mean(cds)))
+                cd, f = chamfer_and_fscore(pred, gt, self.fscore_tau)
+                cds.append(cd)
+                fscores.append(f)
+            logger.update(cd=float(np.mean(cds)), fscore=float(np.mean(fscores)))
 
         logger.synchronize_between_processes()
         stats = logger.averages()
         print_fn(
-            "* iou {iou:.3f} loss {loss:.3f} cd {cd:.3f}".format(
-                iou=stats.get("iou", 0.0), loss=stats.get("loss", 0.0), cd=stats.get("cd", -1.0)
+            "* iou {iou:.3f} loss {loss:.3f} cd {cd:.3f} fscore {f:.3f}".format(
+                iou=stats.get("iou", 0.0), loss=stats.get("loss", 0.0),
+                cd=stats.get("cd", -1.0), f=stats.get("fscore", -1.0),
             )
         )
         return stats

@@ -37,7 +37,7 @@ import optax
 from rald_tpu import geometry as geo
 from rald_tpu.data.query import aug_query_helper
 from rald_tpu.diffusion.edm import edm_loss, edm_sampler, sample_prior_latents
-from rald_tpu.eval.chamfer import chamfer_distance
+from rald_tpu.eval.chamfer import chamfer_and_fscore, chamfer_distance
 from rald_tpu.eval.occupancy import occupancy_metrics
 from rald_tpu.eval.ply import write_ply
 from rald_tpu.eval.queries import generate_query_points, generate_query_points_cart
@@ -152,6 +152,9 @@ class GenerationEngine:
         )
 
         self.shard_queries = bool(inf.get("shard_queries", False))
+        # F-score distance threshold in metres (paper metric; extension —
+        # the reference computes only Chamfer)
+        self.fscore_tau = float(cfg.get("eval", {}).get("fscore_tau", 0.1))
 
         t = cfg.train
         self.ema_rate = 0.999
@@ -581,7 +584,7 @@ class GenerationEngine:
                     helper = np.asarray(batch["helper_points"], np.float32)
                     grid_b = np.concatenate([grid_b, helper], axis=1)
                 logits = np.asarray(self._decode(vae_params, tokens, jax.device_put(grid_b)))
-            cds = []
+            cds, fscores = [], []
             for i in range(bsz):
                 pos = grid_b[i][logits[i] > 0]
                 pred = geo.inverse_norm_points(pos, lidar.pc_range, aniso, iso)
@@ -609,8 +612,14 @@ class GenerationEngine:
                 if lidar.get("view_cone_mode", False):
                     pred = geo.polar2cartesian(pred) if len(pred) else pred.reshape(0, 3)
                     gt = geo.polar2cartesian(gt)
-                cd = -1.0 if skip_metric else chamfer_distance(pred, gt)
+                if skip_metric:
+                    cd, f = -1.0, -1.0
+                else:
+                    # F-score@tau rides the same NN passes as Chamfer (the
+                    # paper reports it; the reference code computes only CD)
+                    cd, f = chamfer_and_fscore(pred, gt, self.fscore_tau)
                 cds.append(cd)
+                fscores.append(f)
 
                 if store_pc and "radar_path" in batch:
                     seq = Path(batch["radar_path"][i]).parent.parent.parent.name
@@ -618,13 +627,14 @@ class GenerationEngine:
                         "save_pc_dir_name", "pred_pc"
                     )
                     write_ply(d / (Path(batch["radar_path"][i]).stem + ".ply"), pred)
-            logger.update(cd=float(np.mean(cds)))
+            logger.update(cd=float(np.mean(cds)), fscore=float(np.mean(fscores)))
 
         logger.synchronize_between_processes()
         stats = logger.averages()
         print_fn(
-            "* iou {iou:.3f} loss {loss:.3f} cd {cd:.3f}".format(
-                iou=stats.get("iou", -1.0), loss=stats.get("loss", -1.0), cd=stats.get("cd", -1.0)
+            "* iou {iou:.3f} loss {loss:.3f} cd {cd:.3f} fscore {f:.3f}".format(
+                iou=stats.get("iou", -1.0), loss=stats.get("loss", -1.0),
+                cd=stats.get("cd", -1.0), f=stats.get("fscore", -1.0),
             )
         )
         return stats

@@ -83,3 +83,48 @@ class TestNativeFPS:
         got = native.fps(pts, 32)
         want = np.asarray(farthest_point_sampling(pts, 32))
         np.testing.assert_array_equal(got, want)
+
+
+class TestFscore:
+    """F-score@tau (rald_tpu.eval.chamfer.chamfer_and_fscore) — paper metric,
+    computed jointly with Chamfer from the same NN passes."""
+
+    def test_matches_scipy_oracle(self):
+        from scipy.spatial import cKDTree
+
+        from rald_tpu.eval.chamfer import chamfer_and_fscore, chamfer_distance
+
+        rng = np.random.default_rng(4)
+        pred = rng.normal(size=(300, 3)).astype(np.float32)
+        gt = rng.normal(size=(450, 3)).astype(np.float32)
+        tau = 0.3
+        d_pg, _ = cKDTree(gt).query(pred)
+        d_gp, _ = cKDTree(pred).query(gt)
+        precision = float((d_pg < tau).mean())
+        recall = float((d_gp < tau).mean())
+        want_f = 2 * precision * recall / (precision + recall)
+        cd, f = chamfer_and_fscore(pred, gt, tau)
+        assert f == pytest.approx(want_f, abs=1e-6)
+        assert cd == pytest.approx(chamfer_distance(pred, gt), rel=1e-6)
+
+    def test_hand_case(self):
+        from rald_tpu.eval.chamfer import chamfer_and_fscore
+
+        pred = np.array([[0, 0, 0], [1, 0, 0]], np.float32)
+        gt = np.array([[0, 0, 0.05], [5, 5, 5]], np.float32)
+        _, f = chamfer_and_fscore(pred, gt, tau=0.1)
+        # one of two pred points within tau, one of two gt points -> P=R=F=0.5
+        assert f == pytest.approx(0.5, abs=1e-6)
+
+    def test_empty_pred(self):
+        from rald_tpu.eval.chamfer import chamfer_and_fscore
+
+        cd, f = chamfer_and_fscore(np.zeros((0, 3)), np.ones((5, 3)), tau=0.1)
+        assert cd == float("inf") and f == 0.0
+
+    def test_perfect_match(self):
+        from rald_tpu.eval.chamfer import chamfer_and_fscore
+
+        pts = np.random.default_rng(5).normal(size=(64, 3)).astype(np.float32)
+        cd, f = chamfer_and_fscore(pts, pts, tau=0.05)
+        assert cd == pytest.approx(0.0, abs=1e-5) and f == pytest.approx(1.0)
