@@ -33,6 +33,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from rald_tpu.ops._mxu import mxu_dot, mxu_dot_general
+
 
 def _kernel(x_ref, s_ref, b_ref, wq_ref, wk_ref, wv_ref, wo_ref, bo_ref, o_ref,
             *, heads: int, ln_eps: float, scale_shift_mod: bool):
@@ -50,9 +52,9 @@ def _kernel(x_ref, s_ref, b_ref, wq_ref, wk_ref, wv_ref, wo_ref, bo_ref, o_ref,
         h = h * s_row + b_row
     h = h.astype(x.dtype)
 
-    q = jnp.dot(h, wq_ref[...], preferred_element_type=jnp.float32).astype(x.dtype)
-    k = jnp.dot(h, wk_ref[...], preferred_element_type=jnp.float32).astype(x.dtype)
-    v = jnp.dot(h, wv_ref[...], preferred_element_type=jnp.float32).astype(x.dtype)
+    q = mxu_dot(h, wq_ref[...], jnp.float32).astype(x.dtype)
+    k = mxu_dot(h, wk_ref[...], jnp.float32).astype(x.dtype)
+    v = mxu_dot(h, wv_ref[...], jnp.float32).astype(x.dtype)
 
     n, d = x.shape
     dh = d // heads
@@ -60,16 +62,14 @@ def _kernel(x_ref, s_ref, b_ref, wq_ref, wk_ref, wv_ref, wo_ref, bo_ref, o_ref,
     for hd in range(heads):
         sl = slice(hd * dh, (hd + 1) * dh)
         qh, kh, vh = q[:, sl], k[:, sl], v[:, sl]
-        s = jax.lax.dot_general(
-            qh, kh, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * (dh ** -0.5)
+        s = mxu_dot_general(qh, kh, (((1,), (1,)), ((), ())), jnp.float32) * (dh ** -0.5)
         s = s - jnp.max(s, axis=-1, keepdims=True)
         e = jnp.exp(s)
         a = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(x.dtype)
-        outs.append(jnp.dot(a, vh, preferred_element_type=jnp.float32).astype(x.dtype))
+        outs.append(mxu_dot(a, vh, jnp.float32).astype(x.dtype))
     attn_out = jnp.concatenate(outs, axis=-1)
 
-    y = jnp.dot(attn_out, wo_ref[...], preferred_element_type=jnp.float32)
+    y = mxu_dot(attn_out, wo_ref[...], jnp.float32)
     y = y + bo_ref[...].astype(jnp.float32) + xf  # residual
     o_ref[0] = y.astype(o_ref.dtype)
 
@@ -158,7 +158,7 @@ def _int8_kernel(x_ref, s_ref, b_ref, wq_ref, sq_ref, wk_ref, sk_ref,
     hrow = hmax / 127.0  # (N, 1)
 
     def proj(wq8_ref, scol_ref):
-        acc = jnp.dot(hq8, wq8_ref[...], preferred_element_type=jnp.int32)
+        acc = mxu_dot(hq8, wq8_ref[...], jnp.int32)
         return (acc.astype(jnp.float32) * hrow * scol_ref[...]).astype(x.dtype)
 
     q = proj(wq_ref, sq_ref)
@@ -171,18 +171,16 @@ def _int8_kernel(x_ref, s_ref, b_ref, wq_ref, sq_ref, wk_ref, sk_ref,
     for hd in range(heads):
         sl = slice(hd * dh, (hd + 1) * dh)
         qh, kh, vh = q[:, sl], k[:, sl], v[:, sl]
-        s = jax.lax.dot_general(
-            qh, kh, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * (dh ** -0.5)
+        s = mxu_dot_general(qh, kh, (((1,), (1,)), ((), ())), jnp.float32) * (dh ** -0.5)
         s = s - jnp.max(s, axis=-1, keepdims=True)
         e = jnp.exp(s)
         a = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(x.dtype)
-        outs.append(jnp.dot(a, vh, preferred_element_type=jnp.float32))
+        outs.append(mxu_dot(a, vh, jnp.float32))
     attn_out = jnp.concatenate(outs, axis=-1)  # f32
 
     amax = jnp.maximum(jnp.max(jnp.abs(attn_out), axis=-1, keepdims=True), 1e-6)
     aq8 = jnp.round(attn_out * (127.0 / amax)).astype(jnp.int8)
-    acc = jnp.dot(aq8, wo_ref[...], preferred_element_type=jnp.int32)
+    acc = mxu_dot(aq8, wo_ref[...], jnp.int32)
     y = acc.astype(jnp.float32) * (amax / 127.0) * so_ref[...]
     y = y + bo_ref[...].astype(jnp.float32) + xf  # residual
     o_ref[0] = y.astype(o_ref.dtype)
@@ -304,12 +302,12 @@ def _int8_vout_kernel(x_ref, s_ref, b_ref, wq_ref, wk_ref,
         h = h * s_row + b_row
 
     hb = h.astype(x.dtype)
-    q = jnp.dot(hb, wq_ref[...], preferred_element_type=jnp.float32).astype(x.dtype)
-    k = jnp.dot(hb, wk_ref[...], preferred_element_type=jnp.float32).astype(x.dtype)
+    q = mxu_dot(hb, wq_ref[...], jnp.float32).astype(x.dtype)
+    k = mxu_dot(hb, wk_ref[...], jnp.float32).astype(x.dtype)
 
     hmax = jnp.maximum(jnp.max(jnp.abs(h), axis=-1, keepdims=True), 1e-6)
     hq8 = jnp.round(h * (127.0 / hmax)).astype(jnp.int8)
-    acc = jnp.dot(hq8, wv_ref[...], preferred_element_type=jnp.int32)
+    acc = mxu_dot(hq8, wv_ref[...], jnp.int32)
     v = (acc.astype(jnp.float32) * (hmax / 127.0) * sv_ref[...]).astype(x.dtype)
 
     n, d = x.shape
@@ -318,18 +316,16 @@ def _int8_vout_kernel(x_ref, s_ref, b_ref, wq_ref, wk_ref,
     for hd in range(heads):
         sl = slice(hd * dh, (hd + 1) * dh)
         qh, kh, vh = q[:, sl], k[:, sl], v[:, sl]
-        s = jax.lax.dot_general(
-            qh, kh, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * (dh ** -0.5)
+        s = mxu_dot_general(qh, kh, (((1,), (1,)), ((), ())), jnp.float32) * (dh ** -0.5)
         s = s - jnp.max(s, axis=-1, keepdims=True)
         e = jnp.exp(s)
         a = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(x.dtype)
-        outs.append(jnp.dot(a, vh, preferred_element_type=jnp.float32))
+        outs.append(mxu_dot(a, vh, jnp.float32))
     attn_out = jnp.concatenate(outs, axis=-1)
 
     amax = jnp.maximum(jnp.max(jnp.abs(attn_out), axis=-1, keepdims=True), 1e-6)
     aq8 = jnp.round(attn_out * (127.0 / amax)).astype(jnp.int8)
-    acc = jnp.dot(aq8, wo_ref[...], preferred_element_type=jnp.int32)
+    acc = mxu_dot(aq8, wo_ref[...], jnp.int32)
     y = acc.astype(jnp.float32) * (amax / 127.0) * so_ref[...]
     y = y + bo_ref[...].astype(jnp.float32) + xf
     o_ref[0] = y.astype(o_ref.dtype)

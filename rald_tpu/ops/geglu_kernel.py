@@ -25,6 +25,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from rald_tpu.ops._mxu import mxu_dot, mxu_dot_general
+
 
 def _erf(x):
     """Abramowitz & Stegun 7.1.26 rational approximation, |err| <= 1.5e-7.
@@ -71,12 +73,12 @@ def _ln_kernel(x_ref, s_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref,
         h = h * s_row + b_row
     h = h.astype(x.dtype)
 
-    p = jnp.dot(h, w1_ref[...], preferred_element_type=jnp.float32)
+    p = mxu_dot(h, w1_ref[...], jnp.float32)
     p = (p + b1_ref[...].astype(jnp.float32)).astype(x.dtype)
     inner = p.shape[-1] // 2
     val, gate = p[:, :inner], p[:, inner:]
     g = val * _gelu_exact(gate)
-    out = jnp.dot(g, w2_ref[...], preferred_element_type=jnp.float32)
+    out = mxu_dot(g, w2_ref[...], jnp.float32)
     out = out + b2_ref[...].astype(jnp.float32) + xf  # residual
     o_ref[0] = out.astype(o_ref.dtype)
 
@@ -175,7 +177,7 @@ def _ln_int8_kernel(x_ref, s_ref, b_ref, w1q_ref, s1_ref, b1_ref,
 
     hmax = jnp.maximum(jnp.max(jnp.abs(h), axis=-1, keepdims=True), 1e-6)
     hq = jnp.round(h * (127.0 / hmax)).astype(jnp.int8)
-    acc = jnp.dot(hq, w1q_ref[...], preferred_element_type=jnp.int32)
+    acc = mxu_dot(hq, w1q_ref[...], jnp.int32)
     p = acc.astype(jnp.float32) * (hmax / 127.0) * s1_ref[...]
     p = p + b1_ref[...].astype(jnp.float32)
     inner = p.shape[-1] // 2
@@ -184,7 +186,7 @@ def _ln_int8_kernel(x_ref, s_ref, b_ref, w1q_ref, s1_ref, b1_ref,
 
     gmax = jnp.maximum(jnp.max(jnp.abs(g), axis=-1, keepdims=True), 1e-6)
     gq = jnp.round(g * (127.0 / gmax)).astype(jnp.int8)
-    acc2 = jnp.dot(gq, w2q_ref[...], preferred_element_type=jnp.int32)
+    acc2 = mxu_dot(gq, w2q_ref[...], jnp.int32)
     out = acc2.astype(jnp.float32) * (gmax / 127.0) * s2_ref[...]
     out = out + b2_ref[...].astype(jnp.float32) + xf
     o_ref[0] = out.astype(o_ref.dtype)
@@ -294,12 +296,12 @@ def _kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref):
     # storage dtype follows x (bf16 in the engines); the MXU accumulates in
     # f32 internally either way — numerics match the unfused flax Dense path
     x = x_ref[...]
-    h = jnp.dot(x, w1_ref[...], preferred_element_type=jnp.float32)
+    h = mxu_dot(x, w1_ref[...], jnp.float32)
     h = (h + b1_ref[...].astype(jnp.float32)).astype(x.dtype)
     inner = h.shape[-1] // 2
     val, gate = h[:, :inner], h[:, inner:]
     g = val * _gelu_exact(gate)
-    out = jnp.dot(g, w2_ref[...], preferred_element_type=jnp.float32)
+    out = mxu_dot(g, w2_ref[...], jnp.float32)
     o_ref[...] = (out + b2_ref[...].astype(jnp.float32)).astype(o_ref.dtype)
 
 

@@ -3,6 +3,9 @@
 Each fast path must match its reference (unfused/unfolded) flax twin:
 
 - ``geglu_ff`` Pallas kernel (interpret mode on CPU) vs ``GEGLUFeedForward``
+  — interpret-mode comparisons pin ``jax.default_matmul_precision("highest")``
+  so their f32-calibrated tolerances also hold under ``RALD_TEST_TPU=1``,
+  where the default f32 matmul runs at bf16 MXU precision (~1e-3)
 - ``fused_self_attention_block`` (interpret mode) vs LN/mod + Attention +
   residual composed from flax modules
 - ``fold_decode_tail`` decode vs the unfolded decode path (the fold is an
@@ -20,6 +23,15 @@ from rald_tpu.models.vecset_vae import create_autoencoder
 from rald_tpu.nn.layers import Attention, GEGLUFeedForward
 from rald_tpu.ops.attn_kernel import fused_self_attention_block
 from rald_tpu.ops.geglu_kernel import geglu_ff
+
+
+@pytest.fixture(autouse=True)
+def _exact_f32_matmuls():
+    """f32-exact matmuls on every backend: these tolerances were calibrated
+    for true f32 references, but the TPU's default f32 matmul precision is
+    bf16 (~1e-3), which swamps them under RALD_TEST_TPU=1."""
+    with jax.default_matmul_precision("highest"):
+        yield
 
 
 def test_geglu_kernel_matches_flax():
@@ -119,6 +131,11 @@ def test_fused_ff_flag_in_module():
     ff = GEGLUFeedForward(dtype=jnp.bfloat16)
     ff_fused = GEGLUFeedForward(use_fused=True, dtype=jnp.bfloat16)
     params = ff.init(rng, x)["params"]
+    # the module fixture pins "highest" here on purpose: the kernels pin
+    # DEFAULT on their own dots (Mosaic rejects fp32 contract precision on
+    # bf16/int8 operands), so this also regression-tests that the fused path
+    # survives a global system.matmul_precision: highest (the torch-parity
+    # knob) instead of crashing the compile
     a = np.asarray(ff.apply({"params": params}, x), np.float32)
     b = np.asarray(ff_fused.apply({"params": params}, x), np.float32)
     np.testing.assert_allclose(a, b, atol=3e-2, rtol=3e-2)
