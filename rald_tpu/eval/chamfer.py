@@ -78,17 +78,14 @@ def masked_chamfer(
     chunk_a: int = 4096,
     chunk_b: int = 65536,
 ) -> jax.Array:
-    """Static-shape Chamfer for in-graph use: (pred, gt) padded with masks."""
-    pred_valid = jnp.where(pred_mask[:, None], pred, _BIG)
-    gt_valid = jnp.where(gt_mask[:, None], gt, _BIG)
-    d_pg = nearest_neighbor_dists(pred, gt_valid, chunk_a, chunk_b)
-    d_gp = nearest_neighbor_dists(gt, pred_valid, chunk_a, chunk_b)
-    n_pred = jnp.maximum(jnp.sum(pred_mask), 1)
-    n_gt = jnp.maximum(jnp.sum(gt_mask), 1)
-    mean_pg = jnp.sum(jnp.where(pred_mask, d_pg, 0.0)) / n_pred
-    mean_gp = jnp.sum(jnp.where(gt_mask, d_gp, 0.0)) / n_gt
-    cd = 0.5 * mean_pg + 0.5 * mean_gp
-    return jnp.where(jnp.sum(pred_mask) == 0, jnp.inf, cd)
+    """Static-shape Chamfer for in-graph use: (pred, gt) padded with masks.
+
+    Shares one implementation with the F-score (the extra threshold
+    reductions are negligible next to the O(N*M) NN passes)."""
+    cd, _ = masked_chamfer_fscore(
+        pred, pred_mask, gt, gt_mask, jnp.float32(1.0), chunk_a, chunk_b
+    )
+    return cd
 
 
 @partial(jax.jit, static_argnames=("chunk_a", "chunk_b"))

@@ -70,3 +70,16 @@ def generate_query_points_cart(
             f"{num_points - remaining}/{num_points} points after {max_rounds} rounds"
         )
     return np.concatenate(out)[:num_points]
+
+
+def build_query_grid(lidar_cfg, num_points: int, use_cart_query: bool, rng) -> "np.ndarray":
+    """The eval grid both engines and the inference CLI decode: uniform
+    normalized queries over the scene box (reference
+    engine_generation.py:250-259), cartesian-rejection variant when
+    ``eval.use_cart_query`` is set."""
+    aniso, iso = lidar_cfg.norm_anisotropy, lidar_cfg.norm_isotropy
+    if use_cart_query:
+        return generate_query_points_cart(
+            num_points, lidar_cfg.pc_range_cart, lidar_cfg.pc_range, aniso, iso, rng
+        )
+    return generate_query_points(num_points, lidar_cfg.pc_range, aniso, iso, rng)

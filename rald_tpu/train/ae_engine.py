@@ -35,7 +35,7 @@ import optax
 from rald_tpu import geometry as geo
 from rald_tpu.eval.chamfer import chamfer_and_fscore, chamfer_distance
 from rald_tpu.eval.occupancy import occupancy_metrics
-from rald_tpu.eval.queries import generate_query_points, generate_query_points_cart
+from rald_tpu.eval.queries import build_query_grid
 from rald_tpu.models.registry import get_ae_model
 from rald_tpu.parallel.mesh import make_mesh, shard_batch
 from rald_tpu.train.metrics import MetricLogger
@@ -252,16 +252,10 @@ class AEEngine:
                 continue
             surface = batch["lidar_points"]
             bsz = surface.shape[0]
-            if cfg.get("eval", {}).get("use_cart_query", False):
-                # reference engine_ae.py:229-236
-                grid = generate_query_points_cart(
-                    num_query, lidar.pc_range_cart, lidar.pc_range,
-                    lidar.norm_anisotropy, lidar.norm_isotropy, rng,
-                )
-            else:
-                grid = generate_query_points(
-                    num_query, lidar.pc_range, lidar.norm_anisotropy, lidar.norm_isotropy, rng
-                )
+            # reference engine_ae.py:229-236
+            grid = build_query_grid(
+                lidar, num_query, bool(cfg.get("eval", {}).get("use_cart_query", False)), rng
+            )
             grid_b = np.ascontiguousarray(np.broadcast_to(grid, (bsz, num_query, 3)))
             metrics, logits = self._eval_fused(
                 params, device_batch, shard_batch(grid_b, self.mesh),

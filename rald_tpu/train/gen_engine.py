@@ -40,12 +40,12 @@ from rald_tpu.diffusion.edm import edm_loss, edm_sampler, sample_prior_latents
 from rald_tpu.eval.chamfer import chamfer_and_fscore, chamfer_distance
 from rald_tpu.eval.occupancy import occupancy_metrics
 from rald_tpu.eval.ply import write_ply
-from rald_tpu.eval.queries import generate_query_points, generate_query_points_cart
+from rald_tpu.eval.queries import build_query_grid
 from rald_tpu.models.registry import get_ae_model, get_generation_model, get_radar_encoder_model
 from rald_tpu.parallel.mesh import make_mesh, shard_batch
 from rald_tpu.train.metrics import MetricLogger
 from rald_tpu.train.schedule import scale_base_lr, warmup_cosine_schedule
-from rald_tpu.train.state import TrainState, create_train_state
+from rald_tpu.train.state import TrainState, cast_tree_bf16, create_train_state
 
 
 def bce_with_logits(logits, labels, mask=None):
@@ -465,14 +465,10 @@ class GenerationEngine:
             # inference-only bf16 weights (halves weight HBM re-reads; decode
             # -17% measured, docs/DESIGN.md). Default off: f32 params + bf16
             # compute is the parity-tested configuration.
-            cast = lambda t: jax.tree_util.tree_map(
-                lambda a: a.astype(jnp.bfloat16)
-                if a.dtype == jnp.float32 else a, t
-            )
-            params = cast(params)
-            vae_params = cast(vae_params)
+            params = cast_tree_bf16(params)
+            vae_params = cast_tree_bf16(vae_params)
             if radar_enc_params is not None:
-                radar_enc_params = cast(radar_enc_params)
+                radar_enc_params = cast_tree_bf16(radar_enc_params)
         inference = ev.get("inference", {})
         eval_freq = int(ev.get("freq", 1) or 1)
         iou_test_only = bool(ev.get("iou_test_only", False))
@@ -492,11 +488,7 @@ class GenerationEngine:
         logger = MetricLogger(print_fn=print_fn)
 
         def make_grid():
-            if use_cart_query:  # reference engine_generation.py:252-259
-                return generate_query_points_cart(
-                    num_query, lidar.pc_range_cart, lidar.pc_range, aniso, iso, rng_np
-                )
-            return generate_query_points(num_query, lidar.pc_range, aniso, iso, rng_np)
+            return build_query_grid(lidar, num_query, use_cart_query, rng_np)
 
         for it, batch in enumerate(logger.log_every(iter(loader), 20, "Test:")):
             if it % eval_freq != 0:

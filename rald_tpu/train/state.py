@@ -14,6 +14,7 @@ from __future__ import annotations
 from typing import Any, Callable, Optional
 
 import jax
+import jax.numpy as jnp
 import optax
 from flax import struct
 
@@ -93,4 +94,12 @@ def create_train_state(
         ema_params=jax.tree_util.tree_map(jnp.copy, params),
         opt_state=tx.init(params),
         tx=tx,
+    )
+
+
+def cast_tree_bf16(tree):
+    """Inference-only param cast: f32 leaves ride as bf16 (halves weight HBM
+    re-reads, decode -17% measured — docs/DESIGN.md); other dtypes keep."""
+    return jax.tree_util.tree_map(
+        lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a, tree
     )

@@ -45,7 +45,8 @@ def test_infer_cli_end_to_end(synth_root, tmp_path):
     ckpt.save(state, epoch=0)
     cfg.eval.ckpt = str(tmp_path / "ckpts" / "checkpoint-0")
 
-    # 3 loose cubes (one .npz to cover both loaders) -> 2 batches of 2 (pad-last)
+    # 3 loose already-processed cubes, dataset-layout (one .npz to cover both
+    # loaders) -> 2 batches of 2 (pad-last)
     cubes = tmp_path / "cubes"
     cubes.mkdir()
     rng = np.random.default_rng(0)
@@ -54,7 +55,8 @@ def test_infer_cli_end_to_end(synth_root, tmp_path):
     np.savez(cubes / "0002.npz", radar_cube=rng.normal(size=(32, 16, 16, 2)).astype(np.float32))
 
     out = tmp_path / "pred"
-    stats = run(cfg, str(cubes), str(out), batch=2, print_fn=lambda *a: None)
+    stats = run(cfg, str(cubes), str(out), batch=2, preprocessed=True,
+                print_fn=lambda *a: None)
 
     assert stats["files"] == 3
     plys = sorted(p.name for p in out.glob("*.ply"))
@@ -70,9 +72,25 @@ def test_infer_cli_end_to_end(synth_root, tmp_path):
     cfg.eval.inference.shard_queries = True
     cfg.eval.inference.num_query_points = 510
     out2 = tmp_path / "pred_sharded"
-    stats2 = run(cfg, str(cubes), str(out2), batch=2, print_fn=lambda *a: None)
+    stats2 = run(cfg, str(cubes), str(out2), batch=2, preprocessed=True,
+                 print_fn=lambda *a: None)
     assert stats2["files"] == 3
     assert sorted(p.name for p in out2.glob("*.ply")) == plys
+
+    # RAW 3-channel cubes through the default host preprocessing (the same
+    # transform the dataset applies), in two sequences with COLLIDING frame
+    # names -> outputs mirror the tree instead of overwriting each other
+    cfg.eval.inference.shard_queries = False
+    raw = tmp_path / "raw"
+    for seq in ("seqA", "seqB"):
+        d = raw / seq / "radar_cube"
+        d.mkdir(parents=True)
+        np.save(d / "0000.npy", rng.normal(size=(32, 16, 16, 3)).astype(np.float32))
+    out3 = tmp_path / "pred_raw"
+    stats3 = run(cfg, str(raw), str(out3), batch=2, print_fn=lambda *a: None)
+    assert stats3["files"] == 2
+    got = sorted(str(p.relative_to(out3)) for p in out3.rglob("*.ply"))
+    assert got == ["seqA/radar_cube/0000.ply", "seqB/radar_cube/0000.ply"]
 
 
 def test_infer_rejects_empty_input(tmp_path, synth_root):
