@@ -66,12 +66,13 @@ import jax.numpy as jnp
 
 REFERENCE_GPU_PC_PER_SEC_EST = 5.5  # frames/s, documented estimate (see docstring)
 
-# Measured-best first. Late round-3 sweep with every decode fold + 8-deep
-# pipelining in place: 16 -> 27.37, 24 -> 27.80, 28 -> 27.28, 32 -> 28.00,
-# 40 -> 27.86, 48 -> 28.06, 64 -> 27.52 pc/s — the round-2 "batch-32 sampler
-# regression" washed out once the decode folds landed, and the curve
-# plateaus at ~28.0 over batch 32-48. 32 first (fastest to confirm), 48
-# second (statistically tied best); the rest refine under the wall guard.
+# Measured-best first. Sweep with every decode fold, 8-deep pipelining, and
+# the poly-GELU int8 kernel in place (docs/artifacts/bench_r3f.log):
+# 1 -> 23.73, 8 -> 28.62, 16 -> 29.70, 24 -> 30.22, 32 -> 30.47,
+# 48 -> 30.53 pc/s — the curve plateaus at ~30.5 over batch 32-48 (the
+# round-2 "batch-32 sampler regression" washed out once the decode folds
+# landed). 32 first (fastest to confirm), 48 second (statistically tied
+# best); the rest refine under the wall guard.
 BATCH_ORDER = (32, 48, 24, 16, 8, 1)
 # Stop starting new work past this point; the driver kills us at ~15-18 min.
 # Overridable so a long cache-priming run (which compiles every batch size

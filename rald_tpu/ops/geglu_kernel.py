@@ -48,6 +48,42 @@ def _gelu_exact(x):
     return (0.5 * xf * (1.0 + _erf(xf * 0.7071067811865476))).astype(x.dtype)
 
 
+# erf(x) ~= clamp(x * P(x^2), +-1): least-squares fit on [0, 3], degree-13
+# odd polynomial (7 Horner FMAs, no exp, no divide). max |erf error| 2.6e-4
+# in-range, 2.2e-5 from the clamp beyond — both ~30x below the int8 path's
+# own per-token quantization noise (~8e-3 rel), and the erf input is a
+# *gate*, so the error enters multiplicatively on an O(1) factor.
+# Fit script recorded in scripts/perf_probe6c.py's docstring history.
+_ERF_POLY = (
+    1.1279297779e+00, -3.7341796931e-01, 1.0799495029e-01, -2.2859888852e-02,
+    3.3732705085e-03, -3.2356449396e-04, 1.7898980961e-05, -4.2960337090e-07,
+)
+
+
+def _erf_poly(x):
+    # clamp the INPUT to the fit range: the polynomial diverges beyond it,
+    # and erf(+-3) = +-0.99998 so the saturation error is the 2.2e-5 above
+    x = jnp.clip(x, -3.0, 3.0)
+    x2 = x * x
+    p = jnp.float32(_ERF_POLY[-1])
+    for c in _ERF_POLY[-2::-1]:
+        p = p * x2 + jnp.float32(c)
+    return x * p
+
+
+def _gelu_poly(x):
+    """Transcendental-free GELU for the (already lossy) int8 kernels.
+
+    The A&S rational erf costs an exp + divide per element on the
+    (rows, 2048) gate — measured 0.663 -> 0.560 ms per batch-32 FF sublayer
+    when replaced with the clamped odd polynomial (scripts/perf_probe6c.py;
+    the VPU chain is additive with the MXU at these shapes, perf_probe6b).
+    Kept OUT of the bf16 kernels, whose exact-erf GELU is part of the
+    checkpoint-parity contract.
+    """
+    return x * (0.5 * (1.0 + _erf_poly(x * 0.7071067811865476)))
+
+
 def _ln_kernel(x_ref, s_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref,
                *, ln_eps: float, scale_shift_mod: bool):
     """Whole FF sublayer per (batch, token-block) grid step:
@@ -161,7 +197,10 @@ def _ln_int8_kernel(x_ref, s_ref, b_ref, w1q_ref, s1_ref, b1_ref,
     activations are quantized per-row (per-token) dynamically after the
     LN+mod, so both MXU contractions run int8 x int8 -> int32 at the MXU's
     double-rate 8-bit mode. Dequantization is the rank-1 outer product of
-    the row and column scales; the GEGLU gate runs in f32 as before.
+    the row and column scales; the GEGLU gate runs in f32 via the
+    transcendental-free :func:`_gelu_poly` (a further -15% on this kernel,
+    scripts/perf_probe6c.py — the VPU chain is additive with the MXU here,
+    so every VPU op is on the critical path).
     """
     x = x_ref[0]
     xf = x.astype(jnp.float32)
@@ -182,7 +221,7 @@ def _ln_int8_kernel(x_ref, s_ref, b_ref, w1q_ref, s1_ref, b1_ref,
     p = p + b1_ref[...].astype(jnp.float32)
     inner = p.shape[-1] // 2
     val, gate = p[:, :inner], p[:, inner:]
-    g = val * _gelu_exact(gate)
+    g = val * _gelu_poly(gate)
 
     gmax = jnp.maximum(jnp.max(jnp.abs(g), axis=-1, keepdims=True), 1e-6)
     gq = jnp.round(g * (127.0 / gmax)).astype(jnp.int8)

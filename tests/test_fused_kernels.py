@@ -265,6 +265,20 @@ def test_constant_shift_softmax_ratio():
 
 
 
+def test_erf_poly_accuracy():
+    """The int8 kernels' transcendental-free GELU: the clamped odd-poly erf
+    stays within its documented bound everywhere (|err| <= 2.6e-4 in-range,
+    2.2e-5 from the clamp beyond |x|=3 — both far below the int8 path's
+    ~8e-3 per-token quantization noise)."""
+    from rald_tpu.ops.geglu_kernel import _erf_poly, _gelu_poly
+
+    x = jnp.linspace(-8.0, 8.0, 40001, dtype=jnp.float32)
+    err = jnp.max(jnp.abs(_erf_poly(x) - jax.scipy.special.erf(x)))
+    assert float(err) < 3e-4, float(err)
+    g_err = jnp.max(jnp.abs(_gelu_poly(x) - jax.nn.gelu(x, approximate=False)))
+    assert float(g_err) < 1.5e-3, float(g_err)
+
+
 def test_int8_ff_kernel_accuracy():
     """int8-weight FF kernel (quantized inference): per-sublayer error vs
     the f32 composition stays within dynamic-quantization tolerance."""
