@@ -15,11 +15,16 @@ VMEM-resident across the grid via constant index maps), computes LN(+mod),
 q/k/v, all 8 heads' attention (f32 softmax), the out-projection and the
 residual add, and writes only the (512, 512) result.
 
-Status: kept in-tree but DEFAULT-OFF — no engine or config sets
-``use_fused_attn``; measured NEUTRAL vs XLA's fusion at these shapes
-(docs/DESIGN.md "dead ends": XLA attention is already near its HBM floor
-here), exercised by scripts/perf_probe3.py and tests/test_fused_kernels.py
-only. Inference-only (no autodiff rule). AdaLN ``mod`` inputs must be
+Status of the bf16 kernel (:func:`fused_self_attention_block`): kept
+in-tree but DEFAULT-OFF — no engine or config sets ``use_fused_attn``;
+measured NEUTRAL vs XLA's fusion at these shapes (docs/DESIGN.md "dead
+ends": XLA attention is already near its HBM floor here), exercised by
+scripts/perf_probe3.py and tests/test_fused_kernels.py only. The int8
+variants below are NOT dead-off: ``eval.inference.int8_attn`` ("full" or
+"vout") routes the DiT through them for quantized inference, and bench.py's
+documented operating point uses the "vout" kernel (int8 buys back the MXU
+time the bf16 fusion could not). Inference-only (no autodiff rule).
+AdaLN ``mod`` inputs must be
 (B, 1, D)-broadcastable — validated in the wrapper below. The reference
 computes the same math as separate torch ops
 (models_radar_generation.py:133-169, models_ae.py:412-414).
