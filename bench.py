@@ -38,8 +38,9 @@ Round-2/3 optimizations (measured in scripts/perf_probe*.py, docs/DESIGN.md):
   - int8 quantized inference for the DiT FF + self-attn projections
     (chain +14%: MXU double-rate 8-bit mode; static per-column weight
     scales + dynamic per-token activation scales). Mirrors the product
-    path's ``eval.inference.int8_ff / int8_attn``; quality-gated on the
-    trained 480-epoch checkpoint (docs/DESIGN.md "Round 3")
+    path's ``eval.inference.int8_ff / int8_attn``; quality-gated on
+    synthetic data at the epoch-119/480 rerun checkpoint, ΔIoU <= 0.005
+    (docs/DESIGN.md "Round 3 int8 gate, reproduced")
   - AdaLN mod tables indexed by schedule step at every batch size
 
 ``vs_baseline``: the reference repo publishes no numbers (BASELINE.md) and

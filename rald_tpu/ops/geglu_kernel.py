@@ -48,21 +48,30 @@ def _gelu_exact(x):
     return (0.5 * xf * (1.0 + _erf(xf * 0.7071067811865476))).astype(x.dtype)
 
 
-# erf(x) ~= clamp(x * P(x^2), +-1): least-squares fit on [0, 3], degree-13
-# odd polynomial (7 Horner FMAs, no exp, no divide). max |erf error| 2.6e-4
-# in-range, 2.2e-5 from the clamp beyond — both ~30x below the int8 path's
-# own per-token quantization noise (~8e-3 rel), and the erf input is a
-# *gate*, so the error enters multiplicatively on an O(1) factor.
-# Fit script recorded in scripts/perf_probe6c.py's docstring history.
+# erf(x) ~= clamp(x, -3, 3) * P(x^2): IRLS-minimax fit on [0, 3] with the
+# endpoint CONSTRAINED to x*P(x^2) = 1 at x = 3, degree-15 odd polynomial
+# (8 coefficients in x^2, 7 Horner FMAs, no exp, no divide, no extra
+# saturation ops — the input clamp alone saturates the output). The linear
+# coefficient is then nudged so the f32 Horner evaluates to 1 - 1ulp
+# (0.99999994) at the endpoint. Measured (tests/test_fused_kernels.py):
+# max |erf error| 9.3e-5 in-range; beyond |x|=3 the output is sign(x) to
+# within 6e-8, so the erf error there is <= 1 - erf(3) = 2.2e-5 and decays,
+# and the GELU tail for large-negative gates is ~3e-8*|x| (an earlier
+# unconstrained fit saturated at 0.99972, leaking a 1.4e-4*|x| tail). All
+# ~80x below the int8 path's own per-token quantization noise (~8e-3 rel),
+# and the erf input is a *gate*, so the error enters multiplicatively on an
+# O(1) factor. Fit: constrained least squares (KKT) + IRLS reweighting
+# toward minimax + f32 endpoint nudge; recorded in docs/DESIGN.md round 4.
 _ERF_POLY = (
-    1.1279297779e+00, -3.7341796931e-01, 1.0799495029e-01, -2.2859888852e-02,
-    3.3732705085e-03, -3.2356449396e-04, 1.7898980961e-05, -4.2960337090e-07,
+    1.1278664111e+00, -3.7308188663e-01, 1.0751176122e-01, -2.2562818144e-02,
+    3.2815626959e-03, -3.0865364415e-04, 1.6680301565e-05, -3.9017459733e-07,
 )
 
 
 def _erf_poly(x):
     # clamp the INPUT to the fit range: the polynomial diverges beyond it,
-    # and erf(+-3) = +-0.99998 so the saturation error is the 2.2e-5 above
+    # and the endpoint is pinned to 1.0 (to 1 f32 ulp) by construction, so
+    # the clamp IS the saturation — no extra select on the VPU chain.
     x = jnp.clip(x, -3.0, 3.0)
     x2 = x * x
     p = jnp.float32(_ERF_POLY[-1])

@@ -266,17 +266,31 @@ def test_constant_shift_softmax_ratio():
 
 
 def test_erf_poly_accuracy():
-    """The int8 kernels' transcendental-free GELU: the clamped odd-poly erf
-    stays within its documented bound everywhere (|err| <= 2.6e-4 in-range,
-    2.2e-5 from the clamp beyond |x|=3 — both far below the int8 path's
-    ~8e-3 per-token quantization noise)."""
+    """The int8 kernels' transcendental-free GELU: the endpoint-constrained
+    odd-poly erf stays within its documented bound everywhere (|err| <=
+    9.3e-5 in-range; the input clamp saturates the output to sign(x) within
+    1 f32 ulp beyond |x|=3, so <= 1-erf(3) = 2.2e-5 there — all far below
+    the int8 path's ~8e-3 per-token quantization noise). The range
+    deliberately extends far past the fit interval: saturation must hold
+    for arbitrarily large |x| (an earlier unconstrained fit saturated at
+    0.99972 and leaked a ~1.4e-4*|x| linear tail into GELU for
+    large-negative gates; the constrained fit's residual tail slope is
+    ~3e-8*|x|)."""
     from rald_tpu.ops.geglu_kernel import _erf_poly, _gelu_poly
 
-    x = jnp.linspace(-8.0, 8.0, 40001, dtype=jnp.float32)
+    x = jnp.linspace(-50.0, 50.0, 200001, dtype=jnp.float32)
     err = jnp.max(jnp.abs(_erf_poly(x) - jax.scipy.special.erf(x)))
-    assert float(err) < 3e-4, float(err)
+    assert float(err) < 1e-4, float(err)
     g_err = jnp.max(jnp.abs(_gelu_poly(x) - jax.nn.gelu(x, approximate=False)))
-    assert float(g_err) < 1.5e-3, float(g_err)
+    assert float(g_err) < 3e-4, float(g_err)
+    # beyond the fit range the saturation is exact to 1 f32 ulp:
+    # erf -> sign(x) +- 6e-8, gelu tail |err| <= 3e-8 * |x|
+    far = jnp.asarray([-1e4, -40.0, 40.0, 1e4], dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(_erf_poly(far)), np.sign(far),
+                               rtol=0, atol=1.2e-7)
+    g_far = np.asarray(_gelu_poly(far))
+    np.testing.assert_allclose(g_far, np.maximum(far, 0.0),
+                               rtol=6e-8, atol=3.5e-4)
 
 
 def test_int8_ff_kernel_accuracy():
