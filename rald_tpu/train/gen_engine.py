@@ -576,30 +576,48 @@ class GenerationEngine:
                     helper = np.asarray(batch["helper_points"], np.float32)
                     grid_b = np.concatenate([grid_b, helper], axis=1)
                 logits = np.asarray(self._decode(vae_params, tokens, jax.device_put(grid_b)))
-            cds, fscores = [], []
+            # threshold the grid logits per frame, then run the refine decode
+            # as ONE batched dispatch for the whole frame loop (a per-frame
+            # batch-1 dispatch costs ~30 ms of tunnel overhead each on this
+            # hardware; aug_query_helper's output count is fixed, so the
+            # batch shape is static). The helper RNG is consumed in frame
+            # order, matching the previous per-frame interleaving exactly.
+            preds = []
+            if refine_query:
+                refine_n = int(float(inference.refine_query_aug_num))
+                refined_norm = np.zeros((bsz, refine_n, 3), np.float32)
+                do_refine = np.zeros(bsz, dtype=bool)
             for i in range(bsz):
                 pos = grid_b[i][logits[i] > 0]
                 pred = geo.inverse_norm_points(pos, lidar.pc_range, aniso, iso)
-                gt = geo.inverse_norm_points(surface[i, : pts_num[i]], lidar.pc_range, aniso, iso)
-
                 if refine_query and len(pred):
                     refined = aug_query_helper(
                         pred,
-                        int(float(inference.refine_query_aug_num)),
+                        refine_n,
                         lidar.pc_range,
                         lidar.voxel_size,
                         int(inference.refine_query_scale),
                         rng_np,
                     )
-                    refined_n = geo.norm_points(refined, lidar.pc_range, aniso, iso).astype(
-                        np.float32
-                    )
-                    r_logits = np.asarray(
-                        self._decode(vae_params, tokens[i : i + 1], jax.device_put(refined_n[None]))
-                    )[0]
-                    pred = geo.inverse_norm_points(
-                        refined_n[r_logits > 0], lidar.pc_range, aniso, iso
-                    )
+                    refined_norm[i] = geo.norm_points(
+                        refined, lidar.pc_range, aniso, iso
+                    ).astype(np.float32)
+                    do_refine[i] = True
+                preds.append(pred)
+            if refine_query and do_refine.any():
+                r_logits = np.asarray(
+                    self._decode(vae_params, tokens, jax.device_put(refined_norm))
+                )
+                for i in range(bsz):
+                    if do_refine[i]:
+                        preds[i] = geo.inverse_norm_points(
+                            refined_norm[i][r_logits[i] > 0], lidar.pc_range, aniso, iso
+                        )
+
+            cds, fscores = [], []
+            for i in range(bsz):
+                pred = preds[i]
+                gt = geo.inverse_norm_points(surface[i, : pts_num[i]], lidar.pc_range, aniso, iso)
 
                 if lidar.get("view_cone_mode", False):
                     pred = geo.polar2cartesian(pred) if len(pred) else pred.reshape(0, 3)
