@@ -118,6 +118,77 @@ def make_synthetic_coloradar(
     return root
 
 
+def make_synthetic_hustradar(
+    root: str | Path,
+    frames_per_seq: int = 4,
+    points_per_frame: int = 4000,
+    radar_shape: tuple[int, int, int] = (32, 8, 2),
+    highres_shape: tuple[int, int, int] = (32, 16, 8),
+    seed: int = 0,
+) -> Path:
+    """Write a synthetic RAW HUST-Radar tree (the preprocess CLIs' input).
+
+    Layout per the reference's HUST scripts (lidar_hustradar.py:102-151,
+    hustRadar_dataset.py:59-114):
+
+    - sequence dirs named from the fixed HUST recording list
+      (``constants.HUST_DIR_NAMES``; preprocess_lidar filters on them);
+    - ``<seq>/lidar/<timestamp>.bin`` — float32 (N, 4) scans in the LIDAR
+      frame (sorted by float stem), with zero returns to be dropped;
+    - ``<seq>/lidar_index_sequence.txt`` — aligned raw-frame indices;
+    - ``<seq>/rae_map/<n>.npy`` — per aligned frame, the (R, A, E, 3) radar
+      cube the HUST dataset ships precomputed (numeric stems, so numeric
+      sort != lexical sort is exercised when frames_per_seq > 10);
+    - ``<seq>/single_chip/radarcube_high_res/%04d.bin`` — high-res cubes
+      for the CFAR helper-point caching flow
+      (cache_test_cfar_hust_radar.py:162-172 reads this exact path).
+
+    Scene points are generated in the single-chip (radar) frame and written
+    back through ``HUST_T_SINGLE_CHIP_TO_LIDAR`` so that preprocess_lidar's
+    forward transform + FOV crop recovers them.
+    """
+    from rald_tpu.constants import HUST_DIR_NAMES, HUST_T_SINGLE_CHIP_TO_LIDAR
+
+    root = Path(root)
+    rng = np.random.default_rng(seed)
+    raw_per_seq = frames_per_seq + 2  # alignment subsamples the raw stream
+
+    for seq in HUST_DIR_NAMES:
+        lidar_dir = root / seq / "lidar"
+        rae_dir = root / seq / "rae_map"
+        hires_dir = root / seq / "single_chip" / "radarcube_high_res"
+        for d in (lidar_dir, rae_dir, hires_dir):
+            d.mkdir(parents=True, exist_ok=True)
+
+        frame_pts = []
+        for i in range(raw_per_seq):
+            pts = _room_points(rng, points_per_frame)
+            while pts.shape[0] < points_per_frame:
+                pts = np.concatenate([pts, _room_points(rng, points_per_frame)])
+            pts = pts[:points_per_frame]
+            frame_pts.append(pts)
+            # raw scan lives in the lidar frame with a 4th (intensity) attr
+            lidar_pts = geo.transform_points(pts, HUST_T_SINGLE_CHIP_TO_LIDAR)
+            scan = np.column_stack(
+                [lidar_pts, rng.uniform(0, 1, len(lidar_pts))]
+            ).astype(np.float32)
+            scan[: max(len(scan) // 50, 1)] = 0.0  # zero returns to drop
+            scan.tofile(lidar_dir / f"{1000.0 + 0.1 * i:.1f}.bin")
+
+        # alignment: every raw frame except the first/last is kept
+        idx = list(range(1, raw_per_seq - 1))[:frames_per_seq]
+        (root / seq / "lidar_index_sequence.txt").write_text(
+            "\n".join(str(i) for i in idx)
+        )
+        for n, raw_i in enumerate(idx):
+            cube = _scene_radar_cube(frame_pts[raw_i], radar_shape, rng)
+            np.save(rae_dir / f"{n}.npy", cube)
+            hires = _scene_radar_cube(frame_pts[raw_i], highres_shape, rng)
+            hires.tofile(hires_dir / f"{n:04d}.bin")
+
+    return root
+
+
 def synthetic_dataset_config(root: str | Path, view_cone: bool = True):
     """A Config matching the synthetic tree (mirrors configs/ae/*.yml keys)."""
     from rald_tpu.config import Config

@@ -1,11 +1,15 @@
-"""Multi-process distributed runtime test (VERDICT.md round-1 weak #4).
+"""Multi-process distributed runtime test (VERDICT.md round-1 weak #4,
+round-3 "Next round" #4).
 
 Launches TWO local processes that rendezvous through
 ``mesh.init_distributed`` (torchrun-style MASTER_ADDR/RANK/WORLD_SIZE env
 discovery, the reference's misc.py:214-246 surface), build a global 2-device
 mesh, feed per-process local shards via
 ``jax.make_array_from_process_local_data``, and run one psum'd sharded
-step — the full multi-host path that single-process tests cannot reach.
+step — then cross the two risky multi-host surfaces that single-process
+tests cannot reach: sharded orbax checkpoint save/restore into a fresh
+mesh (misc.py:293-365) and a distributed-eval batch with ShardedSampler
+split + in-graph psum metric reduction (main_ae.py:64-70).
 """
 import os
 import socket
@@ -21,7 +25,7 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def test_two_process_cluster():
+def test_two_process_cluster(tmp_path):
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     worker = os.path.join(repo, "tests", "_mp_worker.py")
     port = _free_port()
@@ -36,6 +40,7 @@ def test_two_process_cluster():
             MASTER_PORT=str(port),
             WORLD_SIZE="2",
             RANK=str(rank),
+            MP_CKPT_DIR=str(tmp_path / "ckpt"),
         )
         procs.append(
             subprocess.Popen(
@@ -56,3 +61,5 @@ def test_two_process_cluster():
         assert p.returncode == 0, f"rank {rank} failed:\n{out}"
     for rank, out in enumerate(outs):
         assert f"MP_OK rank={rank}" in out, out
+        assert f"MP_CKPT_OK rank={rank} epoch=7" in out, out
+        assert f"MP_EVAL_OK rank={rank} metric=3.5000" in out, out
