@@ -35,6 +35,7 @@ Run:  python scripts/full_parity.py     (~10 min, mostly torch CPU)
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 from pathlib import Path
@@ -49,6 +50,11 @@ import torch  # noqa: E402
 from tests.reference_loader import load_reference_models  # noqa: E402
 
 import jax  # noqa: E402
+
+if os.environ.get("RALD_PARITY_CPU") == "1":
+    # same backend tier as tests/test_reference_parity.py (conftest forces
+    # CPU there too); use when the TPU is busy/unavailable
+    jax.config.update("jax_platforms", "cpu")
 import jax.numpy as jnp  # noqa: E402
 
 from rald_tpu.config import Config  # noqa: E402
@@ -60,7 +66,8 @@ from rald_tpu.diffusion.edm import sample_prior_latents  # noqa: E402
 from rald_tpu.eval.chamfer import chamfer_distance  # noqa: E402
 from rald_tpu.train.gen_engine import GenerationEngine  # noqa: E402
 
-NUM_STEPS = 4  # 2*4 - 1 = 7 NFEs, same Heun code path as the product 18/35
+NUM_STEPS = int(os.environ.get("RALD_PARITY_STEPS", "4"))  # 2n-1 NFEs;
+# RALD_PARITY_STEPS=18 runs the product chain's exact 35-NFE count
 NUM_QUERIES = 50_000
 
 
@@ -189,7 +196,7 @@ def main():
         "wall_s": {"ours": ours_s, "reference_torch_cpu": ref_s,
                    "total": time.time() - t0},
     }
-    out = REPO / "docs" / "artifacts" / "full_parity_r4.json"
+    out = REPO / "docs" / "artifacts" / f"full_parity_r4_nfe{2 * NUM_STEPS - 1}.json"
     out.write_text(json.dumps(result, indent=2) + "\n")
     print(json.dumps(result, indent=2))
 

@@ -1,0 +1,81 @@
+"""Re-run the three-mode int8 quality gate through the product path.
+
+VERDICT r3 "Next round" #7: the round-3 gate (docs/DESIGN.md "Round 3 int8
+gate, reproduced") was anchored to the mid-training `checkpoint-119`; this
+driver re-executes the identical protocol — `main_generation` eval mode on
+the synthetic test split in three inference modes — against a given
+(converged) stage-2 checkpoint:
+
+    bf16            (parity-tested default)
+    int8_ff         (DiT FF matmuls int8)
+    int8_ff + int8_attn='vout'  (plus v/out attention projections)
+
+Usage:
+  python scripts/int8_gate.py [CURVES_ROOT] [CKPT]
+    CURVES_ROOT: tree from scripts/rerun_to_convergence.sh (default /tmp/curves)
+    CKPT:        stage-2 checkpoint dir (default <root>/out_gen/checkpoint-479)
+
+Writes docs/artifacts/int8_gate_<ckpt-name>.json with IoU / CD / F-score
+per mode and the deltas vs bf16.
+"""
+from __future__ import annotations
+
+import json
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+import yaml  # noqa: E402
+
+from rald_tpu.config import Config  # noqa: E402
+
+MODES = (
+    ("bf16", {"int8_ff": False, "int8_attn": False}),
+    ("int8_ff", {"int8_ff": True, "int8_attn": False}),
+    ("int8_ff+attn_vout", {"int8_ff": True, "int8_attn": "vout"}),
+)
+
+
+def main():
+    root = Path(sys.argv[1]) if len(sys.argv) > 1 else Path("/tmp/curves")
+    ckpt = Path(sys.argv[2]) if len(sys.argv) > 2 else root / "out_gen" / "checkpoint-479"
+    assert ckpt.exists(), f"no checkpoint at {ckpt}"
+
+    from rald_tpu.cli.main_generation import run  # noqa: E402
+
+    results = {}
+    for name, flags in MODES:
+        cfg = Config(yaml.safe_load((root / "gen.yml").read_text()))
+        cfg.system.mode = "eval"
+        cfg.eval.ckpt = str(ckpt)
+        cfg.eval.use_test_set = True
+        cfg.eval.store_pc = False
+        for k, v in flags.items():
+            cfg.eval.inference[k] = v
+        print(f"=== mode {name} ===", flush=True)
+        stats = run(cfg)
+        results[name] = {
+            "iou": round(float(stats.get("iou", -1)), 4),
+            "cd_m": round(float(stats.get("cd", -1)), 4),
+            "fscore": round(float(stats.get("fscore", -1)), 4),
+        }
+        print(name, results[name], flush=True)
+
+    base = results["bf16"]
+    for name in results:
+        results[name]["delta_iou_vs_bf16"] = round(results[name]["iou"] - base["iou"], 4)
+    out = {
+        "ckpt": str(ckpt),
+        "protocol": "main_generation eval mode, synthetic test split (gen.yml recipe)",
+        "modes": results,
+    }
+    path = REPO / "docs" / "artifacts" / f"int8_gate_{ckpt.name}.json"
+    path.write_text(json.dumps(out, indent=2) + "\n")
+    print(json.dumps(out, indent=2))
+    print("written:", path)
+
+
+if __name__ == "__main__":
+    main()
