@@ -141,7 +141,7 @@ def fused_ln_geglu_residual(
     b2: jax.Array,
     scale_shift_mod: bool = True,
     ln_eps: float = 1e-5,
-    block: int = 512,
+    block: int = 0,
     interpret: bool = False,
 ) -> jax.Array:
     """``x + (proj_in -> GEGLU -> proj_out)(mod(LN(x)))`` fused in VMEM.
@@ -151,7 +151,15 @@ def fused_ln_geglu_residual(
     ``h*scale+shift``); w1: (D, 2*inner); w2: (inner, D) — the FF must be
     dim-preserving for the residual. Per-token modulations are not
     supported (one row per batch element). Inference-path only.
+
+    ``block`` (row tile) 0 = auto: 512 for <=2-byte activations, 256 for
+    f32 — the (block, 2*inner) projection intermediate at block 512 under
+    f32 exceeds the 16 MB scoped-VMEM stack (measured 16.21M compiling the
+    strict-parity ``matmul_precision: highest`` + ``compute_dtype:
+    float32`` configuration on v5e).
     """
+    if not block:
+        block = 512 if jnp.dtype(x.dtype).itemsize <= 2 else 256
     bsz, n, dim = x.shape
     assert w2.shape[-1] == dim, "residual fusion needs out_dim == dim"
     for name, a in (("scale", scale), ("shift", shift)):
@@ -288,7 +296,7 @@ def fused_ln_geglu_residual_int8(
     b2: jax.Array,
     scale_shift_mod: bool = True,
     ln_eps: float = 1e-5,
-    block: int = 512,
+    block: int = 0,
     interpret: bool = False,
 ) -> jax.Array:
     """:func:`fused_ln_geglu_residual` with int8 weights + dynamic per-token
@@ -296,7 +304,10 @@ def fused_ln_geglu_residual_int8(
     f32 column scales ``s1`` (1, 2*inner) / ``s2`` (1, dim) from
     :func:`quantize_cols`. Lossy (~1.5% rel per sublayer); opt-in via
     ``use_int8_ff`` on the DiT (quantized inference), gated end-to-end by
-    scripts/perf_probe4.py and tests/test_fused_kernels.py."""
+    scripts/perf_probe4.py and tests/test_fused_kernels.py. ``block`` 0 =
+    auto (dtype-aware, see :func:`fused_ln_geglu_residual`)."""
+    if not block:
+        block = 512 if jnp.dtype(x.dtype).itemsize <= 2 else 256
     bsz, n, dim = x.shape
     assert w2q.shape[-1] == dim, "residual fusion needs out_dim == dim"
     for name, a in (("scale", scale), ("shift", shift)):

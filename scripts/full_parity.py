@@ -55,6 +55,22 @@ if os.environ.get("RALD_PARITY_CPU") == "1":
     # same backend tier as tests/test_reference_parity.py (conftest forces
     # CPU there too); use when the TPU is busy/unavailable
     jax.config.update("jax_platforms", "cpu")
+
+# On TPU, f32 matmuls default to bf16 multiplications; for a strict diff
+# against torch-CPU f32 the engines' checkpoint-parity setting applies
+# (system.matmul_precision: 'highest' — main_generation.py:115-116).
+# Measured here: default precision leaves the 7-NFE tokens at 6e-5 but the
+# near-zero random-weight decode logits pick up ~1.3e-3 noise (the logit
+# std itself is only 8e-3), flipping ~6% of threshold signs — artifact
+# full_parity_r4_tpu_default_precision.json records that run.
+jax.config.update(
+    "jax_default_matmul_precision",
+    os.environ.get("RALD_PARITY_PRECISION", "highest"),
+)
+
+from rald_tpu.parallel.mesh import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()
 import jax.numpy as jnp  # noqa: E402
 
 from rald_tpu.config import Config  # noqa: E402
@@ -196,7 +212,8 @@ def main():
         "wall_s": {"ours": ours_s, "reference_torch_cpu": ref_s,
                    "total": time.time() - t0},
     }
-    out = REPO / "docs" / "artifacts" / f"full_parity_r4_nfe{2 * NUM_STEPS - 1}.json"
+    out = (REPO / "docs" / "artifacts" /
+           f"full_parity_r4_{jax.default_backend()}_nfe{2 * NUM_STEPS - 1}.json")
     out.write_text(json.dumps(result, indent=2) + "\n")
     print(json.dumps(result, indent=2))
 
