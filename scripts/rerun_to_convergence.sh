@@ -14,6 +14,8 @@
 set -euo pipefail
 ROOT=${1:-/tmp/curves}
 cd "$(dirname "$0")/.."
+# keep the axon site dir on the path (the TPU backend registers from there)
+export PYTHONPATH="$PWD${PYTHONPATH:+:$PYTHONPATH}"
 
 python scripts/curves_configs.py "$ROOT"
 
