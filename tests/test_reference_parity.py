@@ -9,6 +9,8 @@ random weights, convert the state_dicts with
 numerically at both tiny and full-size shapes. A shared misreading of the
 reference cannot pass here (VERDICT.md round-1 "What's missing" #2).
 """
+import os
+
 import numpy as np
 import pytest
 
@@ -363,3 +365,26 @@ def test_e2e_chain():
     assert agree >= 0.998, f"occupancy mask agreement {agree}"
     assert t_pred.shape[0] > 0 and j_pred.shape[0] > 0
     assert float(chamfer_distance(j_pred, t_pred)) <= 1e-3
+
+
+@pytest.mark.skipif(
+    os.environ.get("RALD_FULL_PARITY") != "1",
+    reason="~8 min of torch-CPU full-width compute; set RALD_FULL_PARITY=1 "
+    "(archived results: docs/artifacts/full_parity_r4_*.json)",
+)
+def test_e2e_chain_full_width():
+    """The composed chain at FULL width (dim-512 / depth-24 both models),
+    converted weights + injected prior noise, 7 NFEs, 50k queries — the
+    default-off suite hook for scripts/full_parity.py (VERDICT r3 #1)."""
+    import subprocess
+    import sys as _sys
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parent.parent
+    env = dict(os.environ, RALD_PARITY_CPU="1")
+    proc = subprocess.run(
+        [_sys.executable, str(repo / "scripts" / "full_parity.py")],
+        env=env, capture_output=True, text=True, timeout=3600,
+    )
+    assert proc.returncode == 0, proc.stdout[-2000:] + proc.stderr[-2000:]
+    assert "PASS" in proc.stdout
