@@ -26,7 +26,8 @@ reference's own ``edm_sampler`` + ``vae.decode``
 Both sides run f32 (engine ``compute_dtype: float32``) so the comparison
 isolates implementation/accumulation-order differences from bf16 rounding.
 
-Writes docs/artifacts/full_parity_r4.json and asserts:
+Writes docs/artifacts/full_parity_r4_<backend>_nfe<n>[_<precision>_precision].json
+and asserts:
   occupancy-mask agreement >= 0.999, token/logit drift within the
   tolerances recorded in the artifact.
 
@@ -212,8 +213,10 @@ def main():
         "wall_s": {"ours": ours_s, "reference_torch_cpu": ref_s,
                    "total": time.time() - t0},
     }
+    precision = os.environ.get("RALD_PARITY_PRECISION", "highest")
+    tag = "" if precision == "highest" else f"_{precision}_precision"
     out = (REPO / "docs" / "artifacts" /
-           f"full_parity_r4_{jax.default_backend()}_nfe{2 * NUM_STEPS - 1}.json")
+           f"full_parity_r4_{jax.default_backend()}_nfe{2 * NUM_STEPS - 1}{tag}.json")
     out.write_text(json.dumps(result, indent=2) + "\n")
     print(json.dumps(result, indent=2))
 

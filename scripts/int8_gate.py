@@ -49,6 +49,10 @@ def main():
     for name, flags in MODES:
         cfg = Config(yaml.safe_load((root / "gen.yml").read_text()))
         cfg.system.mode = "eval"
+        # keep main_generation's config snapshot out of the TRAINING output
+        # dir (run() dump_config's unconditionally and would clobber the
+        # archived training config.yml)
+        cfg.system.output_dir = str(root / "int8_gate" / name)
         cfg.eval.ckpt = str(ckpt)
         cfg.eval.use_test_set = True
         cfg.eval.store_pc = False

@@ -85,7 +85,9 @@ def main():
     state, _ = CheckpointManager(ckpt.parent).restore(state, ckpt)
     vae_params, radar_enc_params = load_frozen_modules(cfg, engine)
 
-    n_frames = sum(1 for _ in iter(eval_loader.sampler)) if hasattr(eval_loader, "sampler") else None
+    # REAL frame count: pad_last duplicates frames to fill the final batch,
+    # so len(loader) * batch_size would overstate throughput
+    frames = sum(1 for _ in iter(eval_loader.sampler))
     use_ema = bool(cfg.train.get("use_ema", True))
 
     results = {}
@@ -95,7 +97,6 @@ def main():
             state, eval_loader, vae_params, radar_enc_params, use_ema=use_ema,
         )
         wall = time.perf_counter() - t0
-        frames = len(eval_loader) * int(cfg.dataset.get("eval_batch_size", 1))
         results[pass_name] = {
             "wall_s": round(wall, 2),
             "frames": frames,
@@ -119,7 +120,6 @@ def main():
     path.write_text(json.dumps(out, indent=2) + "\n")
     print(json.dumps(out["passes"]["timed"]), flush=True)
     print("written:", path)
-    del n_frames
 
 
 if __name__ == "__main__":

@@ -4,12 +4,16 @@
 # the int8 quantized-inference gate can be re-anchored on a CONVERGED
 # checkpoint (the round-3 gate used the epoch-119 rerun checkpoint).
 #
-# Identical training stream to scripts/curves_configs.py (seed 0; the
-# round-3 rerun replayed the archived curve to measurement precision,
-# CURVES.md "Reproducibility") — only the EVAL cadence and checkpoint
-# cadence are changed, which do not touch the train-side RNG/data order:
-#   - train.epochs 120 -> 480
-#   - train.eval_freq 4 -> 16   (eval is pure readout)
+# Same recipe as scripts/curves_configs.py (seed 0, same data order and
+# noise streams) but trained as ONE 480-epoch run: note that raising
+# train.epochs also stretches the cosine LR horizon
+# (train/schedule.py), so this run does NOT replay the archived
+# 120-epoch curve point-for-point — it is a fresh convergence run at the
+# 480-epoch schedule, which is what the quality gate needs (a converged
+# checkpoint), not a bit-level replay (that reproduction was already
+# demonstrated at matching horizons, CURVES.md "Reproducibility").
+# Cadence changes (pure readout, no train-side effect):
+#   - train.eval_freq 4 -> 16
 #   - train.save_ckpt_freq 40 (checkpoint-119/…/checkpoint-479 retained)
 set -euo pipefail
 ROOT=${1:-/tmp/curves}

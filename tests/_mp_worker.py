@@ -85,8 +85,6 @@ def main():
 
 def checkpoint_roundtrip(mesh, rank):
     """Sharded orbax save from both processes, restore into a FRESH mesh."""
-    import jax.random as jrandom
-
     from rald_tpu.train.checkpoint import CheckpointManager
     from rald_tpu.train.state import create_train_state
 
@@ -132,7 +130,6 @@ def checkpoint_roundtrip(mesh, rank):
             got,
         )
     assert int(restored.step) == 1
-    del jrandom
     print(f"MP_CKPT_OK rank={rank} epoch={epoch}", flush=True)
 
 
