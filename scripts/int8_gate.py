@@ -21,6 +21,7 @@ per mode and the deltas vs bf16.
 from __future__ import annotations
 
 import json
+import os
 import sys
 from pathlib import Path
 
@@ -42,6 +43,11 @@ def main():
     root = Path(sys.argv[1]) if len(sys.argv) > 1 else Path("/tmp/curves")
     ckpt = Path(sys.argv[2]) if len(sys.argv) > 2 else root / "out_gen" / "checkpoint-479"
     assert ckpt.exists(), f"no checkpoint at {ckpt}"
+
+    if os.environ.get("RALD_BENCH_CPU") == "1":  # harness smoke tests
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     from rald_tpu.cli.main_generation import run  # noqa: E402
 

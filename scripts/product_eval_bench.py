@@ -29,6 +29,7 @@ Writes docs/artifacts/product_eval_bench.json.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 from pathlib import Path
@@ -70,6 +71,9 @@ def main():
     cfg.eval.freq = 1
 
     import jax  # noqa: E402  (after config so env hooks apply)
+
+    if os.environ.get("RALD_BENCH_CPU") == "1":  # harness smoke tests
+        jax.config.update("jax_platforms", "cpu")
 
     from rald_tpu.cli.main_generation import build_loaders, load_frozen_modules  # noqa: E402
     from rald_tpu.parallel.mesh import enable_compilation_cache, init_distributed, make_mesh  # noqa: E402
