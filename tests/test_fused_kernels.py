@@ -93,6 +93,32 @@ def test_fused_ln_geglu_residual_adaln_mode():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5, rtol=3e-5)
 
 
+def test_fused_ln_geglu_residual_auto_block_f32():
+    """block=0 auto-selects the f32-safe row tile (256) and matches the
+    explicit-block result — the strict-parity configuration (f32 compute on
+    TPU) VMEM-OOMed at the bf16-sized tile of 512 before the dtype-aware
+    default."""
+    from rald_tpu.ops.geglu_kernel import fused_ln_geglu_residual
+
+    rng = jax.random.PRNGKey(7)
+    b, n, d = 1, 300, 64  # n > 256 so the auto tile actually splits rows
+    x = jax.random.normal(rng, (b, n, d), jnp.float32)
+    scale = jax.random.normal(jax.random.fold_in(rng, 1), (b, 1, d)) * 0.1
+    shift = jax.random.normal(jax.random.fold_in(rng, 2), (b, 1, d)) * 0.1
+    ff = GEGLUFeedForward(dtype=jnp.float32)
+    params = ff.init(rng, x)["params"]
+    args = (
+        x, scale, shift,
+        params["proj_in"]["kernel"], params["proj_in"]["bias"],
+        params["proj_out"]["kernel"], params["proj_out"]["bias"],
+    )
+    auto = fused_ln_geglu_residual(*args, scale_shift_mod=True, interpret=True)
+    explicit = fused_ln_geglu_residual(
+        *args, scale_shift_mod=True, block=256, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(auto), np.asarray(explicit))
+
+
 def test_fused_ln_geglu_residual_affine_mode():
     """x + FF(LN_affine(x)) — the VAE SelfAttnBlock FF sublayer — including
     ragged token counts (pad path)."""
