@@ -95,6 +95,7 @@ def edm_sampler(
     s_noise: float = 1.0,
     noise_keys: Optional[jax.Array] = None,
     denoise_indexed: Optional[Callable] = None,
+    capture_states: bool = False,
 ) -> jax.Array:
     """Heun sampler from unit-normal ``latents`` (B, M, C) (reference :235-275).
 
@@ -107,6 +108,13 @@ def edm_sampler(
     letting the denoiser look up precomputed sigma-dependent state (AdaLN
     modulation tables). Only valid without churn (churn perturbs sigma off
     the schedule).
+
+    ``capture_states=True`` additionally returns every (schedule_index,
+    state) pair the denoiser was evaluated at, as ``(idxs (2*num_steps-1,),
+    xs (2*num_steps-1, B, M, C))`` in call order — the inputs one needs to
+    replay the denoiser offline (int8 activation-scale calibration,
+    trajectory debugging) without duplicating the Heun semantics. Return
+    value becomes ``(x_final, (idxs, xs))``.
     """
     if denoise_indexed is not None:
         assert s_churn <= 0, "denoise_indexed requires s_churn == 0 (on-schedule sigmas)"
@@ -137,21 +145,32 @@ def edm_sampler(
         x_next = x_hat + (t_next - t_hat) * d_cur
         denoised2 = call(x_next, t_next, step_i + 1)
         d_prime = (x_next - denoised2) / t_next
-        x_next = x_hat + (t_next - t_hat) * (0.5 * d_cur + 0.5 * d_prime)
-        return x_next, None
+        x_out = x_hat + (t_next - t_hat) * (0.5 * d_cur + 0.5 * d_prime)
+        ys = ((step_i, x_hat), (step_i + 1, x_next)) if capture_states else None
+        return x_out, ys
 
     steps = (
         jnp.arange(num_steps - 1),
         t_steps[: num_steps - 1],
         t_steps[1:num_steps],
     )
-    x, _ = jax.lax.scan(heun_step, x, steps)
+    x, ys = jax.lax.scan(heun_step, x, steps)
 
     # final Euler step to sigma = 0 (no 2nd-order correction, reference :269)
     t_cur, t_next = t_steps[num_steps - 1], t_steps[num_steps]
     x_hat, t_hat = churn(x, t_cur, num_steps - 1)
     denoised = call(x_hat, t_hat, num_steps - 1)
-    return x_hat + (t_next - t_hat) * (x_hat - denoised) / t_hat
+    x_final = x_hat + (t_next - t_hat) * (x_hat - denoised) / t_hat
+    if not capture_states:
+        return x_final
+    (i1, x1), (i2, x2) = ys  # each (num_steps-1, ...) in scan-step order
+    idxs = jnp.concatenate(
+        [jnp.stack([i1, i2], axis=1).reshape(-1), jnp.array([num_steps - 1])]
+    )
+    xs = jnp.concatenate(
+        [jnp.stack([x1, x2], axis=1).reshape(-1, *x1.shape[1:]), x_hat[None]]
+    )
+    return x_final, (idxs, xs)
 
 
 def edm_loss(

@@ -49,10 +49,18 @@ class LatentDiTBlock(nn.Module):
     # (weights per-column static, activations per-token dynamic). Lossy —
     # opt-in, eval-only; requires an "int8" collection built by
     # ops.geglu_kernel.quantize_ff_tree / ops.attn_kernel.quantize_attn_tree.
+    # use_int8_ff: False | True (dynamic per-token activation scales) |
+    # "static" (calibrated per-(schedule-step, block) activation scales fed
+    # through apply_with_mods' ``act_scales`` — drops the per-token max
+    # reductions from the kernel's VPU chain; falls back to dynamic when no
+    # act_scales are passed).
     # use_int8_attn: False | True/"full" (all four projections) | "vout"
     # (v/out only — q/k stay bf16 so no softmax error amplification).
-    use_int8_ff: bool = False
+    use_int8_ff: bool | str = False
     use_int8_attn: bool | str = False
+    # calibration: sow per-block FF activation amax into "quant_stats"
+    # (unfused FF path only — build the model with use_fused_ff=False)
+    sow_quant_stats: bool = False
     dtype: Dtype = jnp.float32
 
     def setup(self):
@@ -64,7 +72,9 @@ class LatentDiTBlock(nn.Module):
         self.norm2 = AdaLayerNorm(dim=inner, dtype=self.dtype)
         self.attn2 = Attention(heads=self.n_heads, dim_head=self.d_head, fused_kv=False, dtype=self.dtype)
         self.norm3 = AdaLayerNorm(dim=inner, dtype=self.dtype)
-        self.ff = GEGLUFeedForward(use_fused=self.use_fused_ff, dtype=self.dtype)
+        self.ff = GEGLUFeedForward(
+            use_fused=self.use_fused_ff, sow_amax=self.sow_quant_stats, dtype=self.dtype
+        )
 
     def mods(self, t_emb: jax.Array):
         """All three sigma-dependent (scale, shift) pairs for this block."""
@@ -76,6 +86,7 @@ class LatentDiTBlock(nn.Module):
         mods,
         cond: Optional[jax.Array] = None,
         deterministic: bool = True,
+        act_scales=None,
     ) -> jax.Array:
         (s1, b1), (s2, b2), (s3, b3) = mods
         if (self.use_int8_attn and not self.is_initializing()
@@ -133,14 +144,37 @@ class LatentDiTBlock(nn.Module):
             # activations never touch HBM (rald_tpu.ops.geglu_kernel)
             p = self.variables["params"]["ff"]
             if self.use_int8_ff and "int8" in self.variables:
-                from rald_tpu.ops.geglu_kernel import fused_ln_geglu_residual_int8
-
                 q = self.variables["int8"]["ff"]
-                x = fused_ln_geglu_residual_int8(
-                    x.astype(self.dtype), s3, b3,
-                    q["w1q"], q["s1"], p["proj_in"]["bias"],
-                    q["w2q"], q["s2"], p["proj_out"]["bias"],
-                )
+                if self.use_int8_ff == "static" and act_scales is not None:
+                    # calibrated per-(step, block) activation scales: the
+                    # kernel quantizes with fixed scalars instead of
+                    # per-token max reductions (ops.geglu_kernel docstring)
+                    from rald_tpu.ops.geglu_kernel import (
+                        fused_ln_geglu_residual_int8_static,
+                    )
+
+                    ah, ag = act_scales
+                    ah = jnp.maximum(ah.astype(jnp.float32), 1e-6)
+                    ag = jnp.maximum(ag.astype(jnp.float32), 1e-6)
+                    # fold the activation scale into the weight column
+                    # scales OUTSIDE the kernel: two (1, K) multiplies
+                    x = fused_ln_geglu_residual_int8_static(
+                        x.astype(self.dtype), s3, b3,
+                        q["w1q"], q["s1"] * (ah / 127.0),
+                        p["proj_in"]["bias"],
+                        q["w2q"], q["s2"] * (ag / 127.0),
+                        p["proj_out"]["bias"],
+                        (127.0 / ah).reshape(1, 1),
+                        (127.0 / ag).reshape(1, 1),
+                    )
+                else:
+                    from rald_tpu.ops.geglu_kernel import fused_ln_geglu_residual_int8
+
+                    x = fused_ln_geglu_residual_int8(
+                        x.astype(self.dtype), s3, b3,
+                        q["w1q"], q["s1"], p["proj_in"]["bias"],
+                        q["w2q"], q["s2"], p["proj_out"]["bias"],
+                    )
             else:
                 from rald_tpu.ops.geglu_kernel import fused_ln_geglu_residual
 
@@ -172,8 +206,9 @@ class LatentArrayTransformer(nn.Module):
     out_channels: Optional[int] = None
     use_fused_ff: bool = False
     use_fused_attn: bool = False
-    use_int8_ff: bool = False
+    use_int8_ff: bool | str = False
     use_int8_attn: bool | str = False
+    sow_quant_stats: bool = False
     dtype: Dtype = jnp.float32
 
     def setup(self):
@@ -188,6 +223,7 @@ class LatentArrayTransformer(nn.Module):
                 n_heads=self.n_heads, d_head=self.d_head,
                 use_fused_ff=self.use_fused_ff, use_fused_attn=self.use_fused_attn,
                 use_int8_ff=self.use_int8_ff, use_int8_attn=self.use_int8_attn,
+                sow_quant_stats=self.sow_quant_stats,
                 dtype=self.dtype, name=f"block_{i}"
             )
             for i in range(self.depth)
@@ -217,10 +253,15 @@ class LatentArrayTransformer(nn.Module):
         mods,
         cond: Optional[jax.Array] = None,
         deterministic: bool = True,
+        act_scales=None,
     ) -> jax.Array:
+        """``act_scales``: per-block ``(ah, ag)`` FF activation scales for
+        the static-int8 path (None anywhere falls back to dynamic)."""
         x = self.proj_in(x)
-        for block, block_mods in zip(self.blocks, mods):
-            x = block.apply_with_mods(x, block_mods, cond, deterministic)
+        if act_scales is None:
+            act_scales = (None,) * len(self.blocks)
+        for block, block_mods, sc in zip(self.blocks, mods, act_scales):
+            x = block.apply_with_mods(x, block_mods, cond, deterministic, act_scales=sc)
         return self.proj_out(self.norm(x))
 
     def __call__(
@@ -255,8 +296,9 @@ class EDMPrecond(nn.Module):
     enc_hidden_ch: int = 64
     use_fused_ff: bool = False
     use_fused_attn: bool = False
-    use_int8_ff: bool = False
+    use_int8_ff: bool | str = False
     use_int8_attn: bool | str = False
+    sow_quant_stats: bool = False
     dtype: Dtype = jnp.float32
 
     def setup(self):
@@ -270,6 +312,7 @@ class EDMPrecond(nn.Module):
             use_fused_attn=self.use_fused_attn,
             use_int8_ff=self.use_int8_ff,
             use_int8_attn=self.use_int8_attn,
+            sow_quant_stats=self.sow_quant_stats,
             dtype=self.dtype,
         )
         if self.cond_type == "radar":
@@ -362,8 +405,13 @@ class EDMPrecond(nn.Module):
         mods,
         cond_tokens: Optional[jax.Array] = None,
         deterministic: bool = True,
+        act_scales=None,
     ) -> jax.Array:
-        """``denoise`` with precomputed AdaLN modulations for this sigma."""
+        """``denoise`` with precomputed AdaLN modulations for this sigma.
+
+        ``act_scales``: per-block ``(ah, ag)`` FF activation scales for this
+        sigma's schedule step (static-int8 path; see
+        ``GenerationEngine.calibrate_act_scales``)."""
         x = x.astype(jnp.float32)
         sigma = jnp.broadcast_to(jnp.asarray(sigma, jnp.float32).reshape(-1, 1, 1), (x.shape[0], 1, 1))
         sd2 = self.sigma_data**2
@@ -371,7 +419,8 @@ class EDMPrecond(nn.Module):
         c_out = sigma * self.sigma_data * jax.lax.rsqrt(sigma**2 + sd2)
         c_in = jax.lax.rsqrt(sd2 + sigma**2)
         f_x = self.model.forward_with_mods(
-            (c_in * x).astype(self.dtype), mods, cond_tokens, deterministic
+            (c_in * x).astype(self.dtype), mods, cond_tokens, deterministic,
+            act_scales=act_scales,
         )
         return c_skip * x + c_out * f_x.astype(jnp.float32)
 

@@ -142,12 +142,19 @@ class GEGLUFeedForward(nn.Module):
     projection and the gated product in VMEM instead of round-tripping HBM
     between the two matmuls. Inference-only (no autodiff rule) and TPU-only;
     training and CPU tests keep the unfused path.
+
+    ``sow_amax`` (unfused path only) sows ``max |input|`` and ``max |gated
+    product|`` into the ``"quant_stats"`` collection — the two activation
+    tensors the int8 FF kernel quantizes. Run with
+    ``mutable=["quant_stats"]`` to collect; used by the static-activation-
+    scale calibration pass (``GenerationEngine.calibrate_act_scales``).
     """
 
     mult: int = 4
     out_dim: Optional[int] = None
     drop_path_rate: float = 0.0
     use_fused: bool = False
+    sow_amax: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -165,10 +172,14 @@ class GEGLUFeedForward(nn.Module):
                 p["proj_out"]["kernel"], p["proj_out"]["bias"],
             )
         else:
+            if self.sow_amax and not self.is_initializing():
+                self.sow("quant_stats", "h_amax", jnp.max(jnp.abs(x.astype(jnp.float32))))
             h = nn.Dense(inner * 2, dtype=self.dtype, name="proj_in")(x)
             h, gates = jnp.split(h, 2, axis=-1)
             # exact (erf) gelu: torch F.gelu default — checkpoint parity matters
             h = h * jax.nn.gelu(gates, approximate=False)
+            if self.sow_amax and not self.is_initializing():
+                self.sow("quant_stats", "g_amax", jnp.max(jnp.abs(h.astype(jnp.float32))))
             h = nn.Dense(out_dim, dtype=self.dtype, name="proj_out")(h)
         return DropPath(self.drop_path_rate, name="drop_path")(h, deterministic)
 

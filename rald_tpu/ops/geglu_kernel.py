@@ -248,6 +248,130 @@ def _ln_int8_kernel(x_ref, s_ref, b_ref, w1q_ref, s1_ref, b1_ref,
     o_ref[0] = out.astype(o_ref.dtype)
 
 
+def _ln_int8_static_kernel(x_ref, s_ref, b_ref, w1q_ref, d1_ref, b1_ref,
+                           w2q_ref, d2_ref, b2_ref, ih_ref, ig_ref, o_ref,
+                           *, ln_eps: float, scale_shift_mod: bool):
+    """Static-activation-scale variant of :func:`_ln_int8_kernel`.
+
+    Dynamic per-token quantization pays two VPU max-abs row reductions (512-
+    and 2048-wide), two per-row reciprocals and a rank-1 dequant per
+    sublayer — measured ~0.13-0.16 ms of the 0.560 ms batch-32 sublayer
+    (docs/DESIGN.md round-3 roofline: the only stage above its floor). With
+    CALIBRATED scales (per schedule-step, per block — see
+    ``GenerationEngine.calibrate_act_scales``) the quantize step is one
+    multiply + clip + round and the dequant row vectors ``d1 = s1*ah/127`` /
+    ``d2 = s2*ag/127`` are precombined outside the kernel, so the whole
+    VPU chain per matmul is mul/clip/round in, one broadcast mul out. The
+    clip saturates activations that exceed the calibration amax (int8
+    saturation semantics — same failure mode as any static-quant scheme).
+    """
+    x = x_ref[0]
+    xf = x.astype(jnp.float32)
+    m = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf), axis=-1, keepdims=True) - jnp.square(m)
+    h = (xf - m) * jax.lax.rsqrt(var + ln_eps)
+    s_row = s_ref[0].astype(jnp.float32)
+    b_row = b_ref[0].astype(jnp.float32)
+    if scale_shift_mod:
+        h = h * (1.0 + s_row) + b_row
+    else:
+        h = h * s_row + b_row
+
+    hq = jnp.round(jnp.clip(h * ih_ref[0, 0], -127.0, 127.0)).astype(jnp.int8)
+    acc = mxu_dot(hq, w1q_ref[...], jnp.int32)
+    p = acc.astype(jnp.float32) * d1_ref[...] + b1_ref[...].astype(jnp.float32)
+    inner = p.shape[-1] // 2
+    val, gate = p[:, :inner], p[:, inner:]
+    g = val * _gelu_poly(gate)
+
+    gq = jnp.round(jnp.clip(g * ig_ref[0, 0], -127.0, 127.0)).astype(jnp.int8)
+    acc2 = mxu_dot(gq, w2q_ref[...], jnp.int32)
+    out = acc2.astype(jnp.float32) * d2_ref[...]
+    out = out + b2_ref[...].astype(jnp.float32) + xf
+    o_ref[0] = out.astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("scale_shift_mod", "ln_eps", "block", "interpret")
+)
+def fused_ln_geglu_residual_int8_static(
+    x: jax.Array,
+    scale: jax.Array,
+    shift: jax.Array,
+    w1q: jax.Array,
+    d1: jax.Array,
+    b1: jax.Array,
+    w2q: jax.Array,
+    d2: jax.Array,
+    b2: jax.Array,
+    inv_h: jax.Array,
+    inv_g: jax.Array,
+    scale_shift_mod: bool = True,
+    ln_eps: float = 1e-5,
+    block: int = 0,
+    interpret: bool = False,
+) -> jax.Array:
+    """:func:`fused_ln_geglu_residual_int8` with CALIBRATED static activation
+    scales (see :func:`_ln_int8_static_kernel`).
+
+    ``inv_h``/``inv_g``: (1, 1) f32 quantization multipliers ``127 / amax``
+    for the post-LN/mod activations and the gated product. ``d1`` (1,
+    2*inner) / ``d2`` (1, dim): weight column scales PREMULTIPLIED by the
+    matching activation scale (``s1 * ah/127``, ``s2 * ag/127``). Lossy;
+    opt-in via ``use_int8_ff="static"`` on the DiT, quality-gated by
+    scripts/int8_gate.py."""
+    if not block:
+        block = 512 if jnp.dtype(x.dtype).itemsize <= 2 else 256
+    bsz, n, dim = x.shape
+    assert w2q.shape[-1] == dim, "residual fusion needs out_dim == dim"
+    for name, a in (("scale", scale), ("shift", shift)):
+        if a.ndim >= 2 and a.shape[-2] != 1:
+            raise ValueError(
+                f"fused_ln_geglu_residual_int8_static: {name} must be (B, 1, D)-"
+                f"broadcastable, got {a.shape}"
+            )
+    scale = jnp.broadcast_to(scale.astype(x.dtype), (bsz, 1, dim))
+    shift = jnp.broadcast_to(shift.astype(x.dtype), (bsz, 1, dim))
+    two_inner = w1q.shape[-1]
+    d1 = d1.reshape(1, two_inner).astype(jnp.float32)
+    d2 = d2.reshape(1, dim).astype(jnp.float32)
+    inv_h = jnp.asarray(inv_h, jnp.float32).reshape(1, 1)
+    inv_g = jnp.asarray(inv_g, jnp.float32).reshape(1, 1)
+    nb = -(-n // block)
+    pad = nb * block - n
+    if pad:
+        x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
+    kernel = functools.partial(
+        _ln_int8_static_kernel, ln_eps=ln_eps, scale_shift_mod=scale_shift_mod
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(bsz, nb),
+        in_specs=[
+            pl.BlockSpec((1, block, dim), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, dim), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, dim), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((dim, two_inner), lambda b, i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, two_inner), lambda b, i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, two_inner), lambda b, i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((two_inner // 2, dim), lambda b, i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, dim), lambda b, i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, dim), lambda b, i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda b, i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda b, i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, block, dim), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((bsz, nb * block, dim), x.dtype),
+        interpret=interpret,
+    )(x, scale, shift, w1q, d1, b1.reshape(1, -1), w2q, d2, b2.reshape(1, -1),
+      inv_h, inv_g)
+    if pad:
+        out = out[:, :n]
+    return out
+
+
 def quantize_cols(w: jax.Array):
     """Per-output-column symmetric int8: ``(w_q int8, s_col f32 (1, out))``
     with ``w ~= w_q * s_col``."""

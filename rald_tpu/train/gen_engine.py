@@ -91,12 +91,23 @@ class GenerationEngine:
         fast = bool(cfg.system.get("fast_inference", True))
         on_tpu = jax.default_backend() == "tpu"
         # quantized inference (eval.inference.int8_ff, default off): the DiT
-        # FF matmuls run int8 (static per-column weight scales + dynamic
-        # per-token activation scales) on the MXU's double-rate 8-bit mode.
-        # Lossy (~1.5% rel per sublayer; e2e occupancy agreement checked in
-        # scripts/perf_probe4.py) — strictly opt-in.
+        # FF matmuls run int8 (static per-column weight scales) on the MXU's
+        # double-rate 8-bit mode. Activation scales: True = dynamic
+        # per-token (no calibration needed), "static" = calibrated
+        # per-(schedule-step, block) scales loaded from
+        # eval.inference.int8_act_scales (npz written by
+        # scripts/calibrate_int8.py; drops the per-token max reductions
+        # from the kernel's VPU chain). Lossy — strictly opt-in, gated by
+        # scripts/int8_gate.py.
         _inf = cfg.get("eval", {}).get("inference", {})
-        int8_ff = bool(_inf.get("int8_ff", False))
+        int8_ff = _inf.get("int8_ff", False)
+        if int8_ff not in (False, True, "static"):
+            raise ValueError(
+                f"eval.inference.int8_ff must be bool or 'static', got {int8_ff!r}"
+            )
+        self._act_scales = None
+        if int8_ff == "static":
+            self._act_scales = self._load_act_scales(_inf)
         # False | True/"full" | "vout" (v/out projections only — q/k stay
         # bf16; half the speedup, no softmax error amplification)
         int8_attn = _inf.get("int8_attn", False)
@@ -174,6 +185,49 @@ class GenerationEngine:
         # tens of ms per jit call on tunneled TPUs, and the reference path
         # (sample, then decode eval queries, then decode the grid) costs 3+
         self._sample_and_decode = jax.jit(self._sample_and_decode_impl)
+
+    def _load_act_scales(self, inf_cfg) -> jax.Array:
+        """Load calibrated FF activation scales for ``int8_ff: "static"``.
+
+        Path: ``eval.inference.int8_act_scales``, default
+        ``<eval.ckpt>/int8_act_scales.npz`` (written next to the checkpoint
+        by scripts/calibrate_int8.py). Returns a (num_steps, depth, 2) f32
+        table of (ah, ag) amax values, indexed by schedule step like the
+        stacked AdaLN mod table.
+        """
+        path = str(inf_cfg.get("int8_act_scales", "") or "")
+        if not path:
+            ckpt = str(self.cfg.get("eval", {}).get("ckpt", "") or "")
+            if not ckpt:
+                raise ValueError(
+                    "eval.inference.int8_ff: 'static' needs calibrated "
+                    "activation scales — set eval.inference.int8_act_scales "
+                    "or eval.ckpt (default <ckpt>/int8_act_scales.npz); run "
+                    "scripts/calibrate_int8.py to produce them"
+                )
+            path = str(Path(ckpt) / "int8_act_scales.npz")
+        if not Path(path).exists():
+            raise FileNotFoundError(
+                f"int8_ff: 'static' — no activation scales at {path}; run "
+                "scripts/calibrate_int8.py on the eval checkpoint first"
+            )
+        with np.load(path) as z:
+            ah, ag = np.asarray(z["ah"], np.float32), np.asarray(z["ag"], np.float32)
+            calib_steps = int(z["num_steps"]) if "num_steps" in z else ah.shape[0]
+        num_steps = int(inf_cfg.get("num_steps", 18))
+        if ah.shape != ag.shape or ah.shape[0] != num_steps or calib_steps != num_steps:
+            raise ValueError(
+                f"activation scales at {path} were calibrated for "
+                f"num_steps={calib_steps} (ah {ah.shape}), but "
+                f"eval.inference.num_steps={num_steps} — recalibrate"
+            )
+        depth = int(self.model.depth)
+        if ah.shape[1] != depth:
+            raise ValueError(
+                f"activation scales at {path} cover {ah.shape[1]} blocks, "
+                f"model has depth {depth} — recalibrate"
+            )
+        return jnp.stack([jnp.asarray(ah), jnp.asarray(ag)], axis=-1)  # (S, depth, 2)
 
     # ------------------------------------------------------------------ setup
     def init_state(self, steps_per_epoch: int, world_batch: int) -> TrainState:
@@ -275,10 +329,13 @@ class GenerationEngine:
         state = state.apply_gradients(grads, self.ema_rate)
         return state, metrics
 
-    def _sample_impl(self, params, radar_cube, seeds):
+    def _sample_impl(self, params, radar_cube, seeds, capture_states=False):
         """model.sample (reference :435-449): prior draw + Heun scan.
 
         Condition tokens are processed ONCE here, then reused for all NFEs.
+        ``capture_states`` additionally returns every (schedule_index,
+        state) pair the denoiser saw (diffusion.edm.edm_sampler) — the
+        replay inputs for activation-scale calibration.
         """
         model = self.model_eval
         variables = {"params": params}
@@ -304,14 +361,20 @@ class GenerationEngine:
         latents = sample_prior_latents(seeds, model.n_latents, model.channels)
 
         if self.sampler_kwargs.get("s_churn", 0) > 0:
-            # churn perturbs sigma off the schedule — mod tables don't apply
+            # churn perturbs sigma off the schedule — mod tables don't
+            # apply, and neither do per-step static activation scales (the
+            # int8 FF silently falls back to dynamic per-token scales:
+            # denoise() passes no act_scales)
             def denoise(x, sigma):
                 return model.apply(variables, x, sigma, cond, method="denoise")
 
             from rald_tpu.diffusion.edm import per_sample_keys
 
             noise_keys = per_sample_keys(seeds)
-            return edm_sampler(denoise, latents, noise_keys=noise_keys, **self.sampler_kwargs)
+            return edm_sampler(
+                denoise, latents, noise_keys=noise_keys,
+                capture_states=capture_states, **self.sampler_kwargs,
+            )
 
         # churn-free: sigmas stay on the schedule, so every AdaLN modulation
         # is precomputable — one batched projection pass instead of 3*depth
@@ -331,15 +394,23 @@ class GenerationEngine:
             variables, t_steps[:-1], method="compute_mod_table"
         ))
 
+        act_table = self._act_scales if getattr(model, "use_int8_ff", False) == "static" else None
+
         def denoise_indexed(x, sigma, idx):
             # one dynamic slice per NFE on the stacked table (vs one per leaf)
             mods = unstack_mods(mod_table[idx])
+            sc = None
+            if act_table is not None:
+                row = act_table[idx]  # (depth, 2) — same one-slice trick
+                sc = tuple((row[i, 0], row[i, 1]) for i in range(row.shape[0]))
             return model.apply(
-                variables, x, sigma, mods, cond, method="denoise_with_mods"
+                variables, x, sigma, mods, cond, method="denoise_with_mods",
+                act_scales=sc,
             )
 
         return edm_sampler(
-            lambda x, s: None, latents, denoise_indexed=denoise_indexed, **self.sampler_kwargs
+            lambda x, s: None, latents, denoise_indexed=denoise_indexed,
+            capture_states=capture_states, **self.sampler_kwargs,
         )
 
     def _decode_impl(self, vae_params, tokens, queries):
@@ -387,6 +458,107 @@ class GenerationEngine:
     def encode_radar(self, radar_enc_params, radar_cube):
         """Public frozen-encoder forward for external drivers."""
         return self._radar_encode(radar_enc_params, radar_cube)
+
+    def calibrate_act_scales(
+        self,
+        state_or_params,
+        loader,
+        radar_enc_params=None,
+        num_batches: int = 2,
+        use_ema: bool = True,
+        margin: float = 1.0,
+        print_fn=print,
+    ):
+        """Calibrate the per-(schedule-step, block) FF activation amax tables
+        consumed by ``eval.inference.int8_ff: "static"``.
+
+        Protocol: run the engine's OWN sampler with ``capture_states`` on
+        ``num_batches`` eval batches — so the calibration sees exactly the
+        (schedule index, latent state) pairs the deployed sampler visits,
+        including any int8 trajectory drift if the engine is already in a
+        quantized mode — then replay each state through the UNFUSED
+        full-precision denoiser with ``sow_quant_stats`` and reduce
+        ``max |h|`` (post LN+AdaLN-mod FF input) / ``max |g|`` (gated
+        product) per (step, block) over batches and tokens.
+
+        Returns ``(ah, ag)`` f32 numpy arrays of shape (num_steps, depth),
+        scaled by ``margin`` (activations beyond the calibrated amax
+        saturate at eval time — int8 clip semantics).
+        """
+        from rald_tpu.diffusion.edm import karras_sigmas, stack_mod_table, unstack_mods
+
+        if isinstance(state_or_params, TrainState):
+            params = state_or_params.ema_params if use_ema else state_or_params.params
+        else:
+            params = state_or_params
+        if self.sampler_kwargs.get("s_churn", 0) > 0:
+            raise ValueError(
+                "static activation scales are per-schedule-step; churn "
+                "perturbs sigma off the schedule (int8_ff: 'static' is "
+                "unsupported with s_churn > 0)"
+            )
+        calib_model = self.model.copy(
+            use_fused_ff=False, use_fused_attn=False,
+            use_int8_ff=False, use_int8_attn=False, sow_quant_stats=True,
+        )
+        depth = int(self.model.depth)
+        num_steps = int(self.sampler_kwargs["num_steps"])
+        t_steps = karras_sigmas(
+            num_steps, self.sampler_kwargs["sigma_min"],
+            self.sampler_kwargs["sigma_max"], self.sampler_kwargs["rho"],
+        )
+
+        capture = jax.jit(lambda p, rc, s: self._sample_impl(p, rc, s, capture_states=True))
+        cond_fn = jax.jit(
+            lambda p, rc: calib_model.apply({"params": p}, rc, method="process_radar_cond")
+        )
+
+        def _replay(p, x, idx, mod_table, cond):
+            mods = unstack_mods(mod_table[idx])
+            _, vs = calib_model.apply(
+                {"params": p}, x, t_steps[idx], mods, cond,
+                method="denoise_with_mods", mutable=["quant_stats"],
+            )
+            qs = vs["quant_stats"]["model"]
+            h = jnp.stack([qs[f"block_{i}"]["ff"]["h_amax"][0] for i in range(depth)])
+            g = jnp.stack([qs[f"block_{i}"]["ff"]["g_amax"][0] for i in range(depth)])
+            return h, g
+
+        replay = jax.jit(_replay)
+        mod_table = stack_mod_table(
+            calib_model.apply({"params": params}, t_steps[:-1], method="compute_mod_table")
+        )
+
+        amax_h = np.zeros((num_steps, depth), np.float32)
+        amax_g = np.zeros((num_steps, depth), np.float32)
+        batches = 0
+        it = iter(loader)
+        for b in range(num_batches):
+            try:
+                batch = next(it)
+            except StopIteration:
+                break
+            bsz = int(np.asarray(batch["lidar_points"]).shape[0])
+            radar_cube = cond = None
+            if self.use_radar_cond:
+                radar_cube = jax.device_put(batch["radar_cube"])
+                if self.frozen_radar_enc:
+                    radar_cube = self._radar_encode(radar_enc_params, radar_cube)
+                    cond_in = radar_cube
+                else:
+                    cond_in = self._maybe_upsample(radar_cube)
+                cond = cond_fn(params, cond_in)
+            seeds = jnp.arange(b * bsz, (b + 1) * bsz)
+            _, (idxs, xs) = capture(params, radar_cube, seeds)
+            for k, idx in enumerate(np.asarray(jax.device_get(idxs))):
+                h, g = replay(params, xs[k], idxs[k], mod_table, cond)
+                amax_h[idx] = np.maximum(amax_h[idx], np.asarray(h))
+                amax_g[idx] = np.maximum(amax_g[idx], np.asarray(g))
+            batches += 1
+            print_fn(f"calibrate_act_scales: batch {batches}/{num_batches} done")
+        if not batches:
+            raise ValueError("calibrate_act_scales: empty loader")
+        return amax_h * margin, amax_g * margin
 
     # ------------------------------------------------------------ epoch loops
     def train_one_epoch(

@@ -7,8 +7,11 @@ the synthetic test split in three inference modes — against a given
 (converged) stage-2 checkpoint:
 
     bf16            (parity-tested default)
-    int8_ff         (DiT FF matmuls int8)
+    int8_ff         (DiT FF matmuls int8, dynamic per-token act scales)
     int8_ff + int8_attn='vout'  (plus v/out attention projections)
+    int8_ff='static' + int8_attn='vout'  (calibrated per-(step, block)
+        activation scales — only when <CKPT>/int8_act_scales.npz exists;
+        produce it with scripts/calibrate_int8.py)
 
 Usage:
   python scripts/int8_gate.py [CURVES_ROOT] [CKPT]
@@ -36,6 +39,7 @@ MODES = (
     ("bf16", {"int8_ff": False, "int8_attn": False}),
     ("int8_ff", {"int8_ff": True, "int8_attn": False}),
     ("int8_ff+attn_vout", {"int8_ff": True, "int8_attn": "vout"}),
+    ("int8_ff_static+attn_vout", {"int8_ff": "static", "int8_attn": "vout"}),
 )
 
 
@@ -53,6 +57,10 @@ def main():
 
     results = {}
     for name, flags in MODES:
+        if flags.get("int8_ff") == "static" and not (ckpt / "int8_act_scales.npz").exists():
+            print(f"=== mode {name} skipped: no {ckpt}/int8_act_scales.npz "
+                  "(run scripts/calibrate_int8.py) ===", flush=True)
+            continue
         cfg = Config(yaml.safe_load((root / "gen.yml").read_text()))
         cfg.system.mode = "eval"
         # keep main_generation's config snapshot out of the TRAINING output

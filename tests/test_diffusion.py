@@ -75,6 +75,29 @@ class TestSampler:
         # the *executed* NFE count is (18-1)*2 + 1 = 35, matching the reference.
         assert len(calls) == 3
 
+    def test_capture_states(self):
+        """capture_states returns every (schedule index, state) the denoiser
+        saw — 2*num_steps-1 pairs in call order — without changing x_final."""
+        from rald_tpu.diffusion.edm import karras_sigmas
+
+        latents = sample_prior_latents(jnp.arange(4), 16, 4)
+        plain = edm_sampler(optimal_gaussian_denoiser, latents, num_steps=5)
+        x, (idxs, xs) = edm_sampler(
+            optimal_gaussian_denoiser, latents, num_steps=5, capture_states=True
+        )
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(plain))
+        # Heun step i calls at indices (i, i+1); final Euler at num_steps-1
+        np.testing.assert_array_equal(
+            np.asarray(idxs), [0, 1, 1, 2, 2, 3, 3, 4, 4]
+        )
+        assert xs.shape == (9, 4, 16, 4)
+        # first captured state is the sigma_max-scaled prior draw
+        t0 = karras_sigmas(5)[0]
+        np.testing.assert_allclose(
+            np.asarray(xs[0]), np.asarray(latents * t0), rtol=1e-6
+        )
+        assert np.isfinite(np.asarray(xs)).all()
+
     def test_few_step_sampling_degrades_gracefully(self):
         """At 5 steps Heun discretization error grows but stays bounded."""
         latents = sample_prior_latents(jnp.arange(256), 64, 4)

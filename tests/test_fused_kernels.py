@@ -355,6 +355,177 @@ def test_int8_ff_kernel_accuracy():
     assert rel < 0.05 and corr > 0.999, (rel, corr)
 
 
+def test_int8_ff_static_kernel_accuracy():
+    """Static-activation-scale int8 FF kernel vs the f32 composition, with
+    scales set to the true activation amax (ideal calibration): the error
+    envelope must match the dynamic-quant kernel's (the static path only
+    changes HOW the quantization scale is obtained)."""
+    from rald_tpu.ops.geglu_kernel import (
+        fused_ln_geglu_residual_int8_static, quantize_cols,
+    )
+
+    rng = jax.random.PRNGKey(9)
+    b, n, d, inner = 2, 160, 64, 256
+    ks = jax.random.split(rng, 8)
+    x = jax.random.normal(ks[0], (b, n, d), jnp.float32)
+    sc = 0.1 * jax.random.normal(ks[1], (b, 1, d))
+    sh = 0.1 * jax.random.normal(ks[2], (b, 1, d))
+    w1 = jax.random.normal(ks[3], (d, 2 * inner)) * (d ** -0.5)
+    b1 = 0.01 * jax.random.normal(ks[4], (2 * inner,))
+    w2 = jax.random.normal(ks[5], (inner, d)) * (inner ** -0.5)
+    b2 = 0.01 * jax.random.normal(ks[6], (d,))
+
+    import flax.linen as nn
+
+    ln = nn.LayerNorm(epsilon=1e-5, use_bias=False, use_scale=False)
+    h = ln.apply({}, x) * (1 + sc) + sh
+    p = h @ w1 + b1
+    g = p[..., :inner] * jax.nn.gelu(p[..., inner:], approximate=False)
+    ref = np.asarray(x + g @ w2 + b2)
+    ah = jnp.max(jnp.abs(h))  # ideal calibration: the true amax
+    ag = jnp.max(jnp.abs(g))
+
+    w1q, s1 = quantize_cols(w1)
+    w2q, s2 = quantize_cols(w2)
+    out = np.asarray(fused_ln_geglu_residual_int8_static(
+        x, sc, sh,
+        w1q, s1 * (ah / 127.0), b1,
+        w2q, s2 * (ag / 127.0), b2,
+        (127.0 / ah).reshape(1, 1), (127.0 / ag).reshape(1, 1),
+        block=128, interpret=True,
+    ), np.float32)
+    rel = np.abs(out - ref).max() / np.abs(ref).max()
+    corr = np.corrcoef(out.ravel(), ref.ravel())[0, 1]
+    assert rel < 0.05 and corr > 0.999, (rel, corr)
+
+
+def test_int8_ff_static_kernel_saturates_beyond_calibration():
+    """Activations beyond the calibrated amax must SATURATE (int8 clip
+    semantics), not wrap: with scales calibrated 4x too small the output
+    degrades gracefully (finite, still correlated with the f32 reference)."""
+    from rald_tpu.ops.geglu_kernel import (
+        fused_ln_geglu_residual_int8_static, quantize_cols,
+    )
+
+    rng = jax.random.PRNGKey(11)
+    b, n, d, inner = 1, 128, 64, 128
+    ks = jax.random.split(rng, 8)
+    x = jax.random.normal(ks[0], (b, n, d), jnp.float32)
+    sc = jnp.zeros((b, 1, d))
+    sh = jnp.zeros((b, 1, d))
+    w1 = jax.random.normal(ks[3], (d, 2 * inner)) * (d ** -0.5)
+    b1 = jnp.zeros((2 * inner,))
+    w2 = jax.random.normal(ks[5], (inner, d)) * (inner ** -0.5)
+    b2 = jnp.zeros((d,))
+
+    import flax.linen as nn
+
+    ln = nn.LayerNorm(epsilon=1e-5, use_bias=False, use_scale=False)
+    h = ln.apply({}, x)
+    p = h @ w1
+    g = p[..., :inner] * jax.nn.gelu(p[..., inner:], approximate=False)
+    ref = np.asarray(x + g @ w2)
+    ah = jnp.max(jnp.abs(h)) / 4.0  # deliberately mis-calibrated
+    ag = jnp.max(jnp.abs(g)) / 4.0
+
+    w1q, s1 = quantize_cols(w1)
+    w2q, s2 = quantize_cols(w2)
+    out = np.asarray(fused_ln_geglu_residual_int8_static(
+        x, sc, sh,
+        w1q, s1 * (ah / 127.0), b1,
+        w2q, s2 * (ag / 127.0), b2,
+        (127.0 / ah).reshape(1, 1), (127.0 / ag).reshape(1, 1),
+        block=128, interpret=True,
+    ), np.float32)
+    assert np.isfinite(out).all()
+    corr = np.corrcoef(out.ravel(), ref.ravel())[0, 1]
+    assert corr > 0.9, corr  # clipped, degraded — but not wrapped garbage
+
+
+def test_geglu_sow_amax_collection():
+    """GEGLUFeedForward(sow_amax=True) sows the two activation amax values
+    the int8 kernel quantizes: max |input| and max |gated product|."""
+    rng = jax.random.PRNGKey(3)
+    x = jax.random.normal(rng, (2, 40, 32), jnp.float32)
+    ff = GEGLUFeedForward(sow_amax=True, dtype=jnp.float32)
+    variables = ff.init(rng, x)
+    params = variables["params"]
+    out, vs = ff.apply({"params": params}, x, mutable=["quant_stats"])
+    qs = vs["quant_stats"]
+    h_amax = float(qs["h_amax"][0])
+    g_amax = float(qs["g_amax"][0])
+    np.testing.assert_allclose(h_amax, float(jnp.max(jnp.abs(x))), rtol=1e-6)
+    p = x @ params["proj_in"]["kernel"] + params["proj_in"]["bias"]
+    inner = p.shape[-1] // 2
+    g = p[..., :inner] * jax.nn.gelu(p[..., inner:], approximate=False)
+    np.testing.assert_allclose(g_amax, float(jnp.max(jnp.abs(g))), rtol=1e-5)
+    # and the sow must not change the module output
+    ref = ff.apply({"params": params}, x)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_int8_ff_static_module_threading():
+    """LatentArrayTransformer.forward_with_mods routes per-block act_scales
+    into the static int8 kernel (pallas interpret mode on CPU): the static
+    path tracks the f32 reference as closely as the dynamic path does, and
+    differs from it (different quantization grid) — i.e. the scales are
+    actually being used."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from rald_tpu.models.latent_dit import LatentArrayTransformer
+    from rald_tpu.ops.geglu_kernel import quantize_ff_tree
+
+    kw = dict(in_channels=8, n_heads=2, d_head=16, depth=2)
+    ref_model = LatentArrayTransformer(**kw)
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(jax.random.fold_in(rng, 1), (1, 16, 8))
+    t = jnp.ones((1,))
+    params = ref_model.init(rng, x, t)["params"]
+    # proj_out is zero-init (DiT convention) — randomize it so outputs are
+    # non-trivial to compare
+    params["proj_out"]["kernel"] = 0.1 * jax.random.normal(
+        jax.random.fold_in(rng, 2), params["proj_out"]["kernel"].shape
+    )
+    q = quantize_ff_tree(params)
+    mods = ref_model.apply({"params": params}, t, method="compute_mods")
+    ref = np.asarray(ref_model.apply(
+        {"params": params}, x, mods, method="forward_with_mods"
+    ), np.float32)
+
+    # true per-block amax via the calibration sow
+    sow_model = LatentArrayTransformer(sow_quant_stats=True, **kw)
+    _, vs = sow_model.apply(
+        {"params": params}, x, mods, method="forward_with_mods",
+        mutable=["quant_stats"],
+    )
+    sc = tuple(
+        (vs["quant_stats"][f"block_{i}"]["ff"]["h_amax"][0],
+         vs["quant_stats"][f"block_{i}"]["ff"]["g_amax"][0])
+        for i in range(2)
+    )
+
+    dyn_model = LatentArrayTransformer(use_fused_ff=True, use_int8_ff=True, **kw)
+    sta_model = LatentArrayTransformer(use_fused_ff=True, use_int8_ff="static", **kw)
+    with pltpu.force_tpu_interpret_mode():
+        dyn = np.asarray(dyn_model.apply(
+            {"params": params, "int8": q}, x, mods, method="forward_with_mods"
+        ), np.float32)
+        sta = np.asarray(sta_model.apply(
+            {"params": params, "int8": q}, x, mods, method="forward_with_mods",
+            act_scales=sc,
+        ), np.float32)
+        # static without scales falls back to the dynamic kernel exactly
+        fallback = np.asarray(sta_model.apply(
+            {"params": params, "int8": q}, x, mods, method="forward_with_mods"
+        ), np.float32)
+
+    scale = np.abs(ref).max()
+    assert np.abs(sta - ref).max() / scale < 0.08
+    assert np.abs(dyn - ref).max() / scale < 0.08
+    np.testing.assert_array_equal(fallback, dyn)
+    assert np.abs(sta - dyn).max() > 0  # different quant grids — scales in use
+
+
 def test_quantize_ff_tree_structure():
     """quantize_ff_tree mirrors the params tree: every DiT block's ff node
     gains {w1q, s1, w2q, s2} at the same path, and w_q*s reconstructs w."""

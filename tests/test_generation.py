@@ -133,6 +133,96 @@ class TestGenerationTraining:
         assert stats["loss"] == -1.0  # metrics skipped
 
 
+class TestStaticInt8Calibration:
+    """eval.inference.int8_ff: "static" — calibration produces the
+    per-(schedule-step, block) amax tables, the npz round-trips through the
+    engine's loader with validation. (The static kernel itself is covered in
+    test_fused_kernels; on CPU the engine's fused paths are off.)"""
+
+    def test_calibrate_store_load(self, synth_root, tmp_path):
+        import jax
+
+        from rald_tpu.cli.main_generation import build_loaders, load_frozen_modules
+        from rald_tpu.parallel.mesh import init_distributed
+        from rald_tpu.train.checkpoint import CheckpointManager
+        from rald_tpu.train.gen_engine import GenerationEngine
+
+        ckpt = synth_root / "gen_train" / "checkpoint-1"
+        assert ckpt.exists(), "training test must run first (module order)"
+        cfg = _gen_cfg(synth_root, "eval")
+        cfg.eval.ckpt = str(ckpt)
+        info = init_distributed()
+        _, eval_loader, _ = build_loaders(cfg, info, "eval")
+        engine = GenerationEngine(cfg)
+        state = engine.init_state(1, 1)
+        state, _ = CheckpointManager(ckpt.parent).restore(state, ckpt)
+        _, radar_enc_params = load_frozen_modules(cfg, engine)
+
+        ah, ag = engine.calibrate_act_scales(
+            state, eval_loader, radar_enc_params=radar_enc_params, num_batches=1
+        )
+        num_steps = engine.sampler_kwargs["num_steps"]
+        depth = int(engine.model.depth)
+        assert ah.shape == ag.shape == (num_steps, depth)
+        # every schedule index is visited by the Heun sampler, and LN'd
+        # activations are never all-zero
+        assert (ah > 0).all() and (ag > 0).all()
+
+        path = tmp_path / "scales.npz"
+        np.savez(path, ah=ah, ag=ag, num_steps=num_steps)
+        cfg2 = _gen_cfg(synth_root, "eval")
+        cfg2.eval.ckpt = str(ckpt)
+        cfg2.eval.inference.int8_ff = "static"
+        cfg2.eval.inference.int8_act_scales = str(path)
+        engine2 = GenerationEngine(cfg2)
+        assert engine2._act_scales.shape == (num_steps, depth, 2)
+        np.testing.assert_allclose(
+            np.asarray(engine2._act_scales[..., 0]), ah, rtol=1e-6
+        )
+        # and sampling still runs through the engine in static mode (on CPU
+        # the fused/int8 kernels are disabled — this covers the plumbing)
+        batch = next(iter(eval_loader))
+        radar_cube = jax.device_put(batch["radar_cube"])
+        tokens = engine2.sample_tokens(
+            state.ema_params, radar_cube, np.arange(radar_cube.shape[0])
+        )
+        assert np.isfinite(np.asarray(tokens)).all()
+
+    def test_loader_validates_scales(self, synth_root, tmp_path):
+        from rald_tpu.train.gen_engine import GenerationEngine
+
+        ckpt = synth_root / "gen_train" / "checkpoint-1"
+        cfg = _gen_cfg(synth_root, "eval")
+        cfg.eval.ckpt = str(ckpt)
+        cfg.eval.inference.int8_ff = "static"
+
+        # missing file -> actionable error
+        cfg.eval.inference.int8_act_scales = str(tmp_path / "nope.npz")
+        with pytest.raises(FileNotFoundError, match="calibrate_int8"):
+            GenerationEngine(cfg)
+
+        # schedule-step mismatch -> recalibrate error
+        bad = tmp_path / "bad.npz"
+        np.savez(bad, ah=np.ones((7, 2), np.float32),
+                 ag=np.ones((7, 2), np.float32), num_steps=7)
+        cfg.eval.inference.int8_act_scales = str(bad)
+        with pytest.raises(ValueError, match="recalibrate"):
+            GenerationEngine(cfg)
+
+        # depth mismatch
+        bad2 = tmp_path / "bad2.npz"
+        np.savez(bad2, ah=np.ones((18, 5), np.float32),
+                 ag=np.ones((18, 5), np.float32), num_steps=18)
+        cfg.eval.inference.int8_act_scales = str(bad2)
+        with pytest.raises(ValueError, match="recalibrate"):
+            GenerationEngine(cfg)
+
+        # bogus mode string
+        cfg.eval.inference.int8_ff = "dynamic-ish"
+        with pytest.raises(ValueError, match="int8_ff"):
+            GenerationEngine(cfg)
+
+
 class TestFrozenRadarEncoder:
     """The reference's frozen-encoder configuration (main_generation.py:131-144):
     radar cubes pre-encoded by a frozen pretrained 3D-CNN outside the
