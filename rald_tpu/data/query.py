@@ -136,6 +136,12 @@ def aug_query_helper(
     otherwise the originals are kept and the remainder is filled with points
     jittered by up to ``scale * voxel_size`` (scale sampled in
     [1, aug_bias_scale]), clipped to pc_range.
+
+    Hot path: at the reference eval recipe this runs per frame at aug_num
+    7e5 (loader) and 5e5 (refine) on a one-core host — profiled at ~40% of
+    the warm product-eval wall before the in-place f32 rewrite below (the
+    original drew f64 uniforms, then cast, then paid numpy's slow
+    broadcast ``np.clip``; same draws-per-point distribution either way).
     """
     assert helper_points.shape[1] == 3
     if rng is None:
@@ -144,17 +150,21 @@ def aug_query_helper(
     voxel_size = np.asarray(voxel_size, dtype=np.float32)
 
     n = helper_points.shape[0]
-    out = np.zeros((aug_num, 3), dtype=np.float32)
     if n >= aug_num:
-        out[:] = helper_points[:aug_num]
-        return out
+        return np.array(helper_points[:aug_num], dtype=np.float32)
 
     gen = aug_num - n
-    pick = rng.choice(n, size=gen, replace=True)
-    scales = rng.choice(np.arange(1, aug_bias_scale + 1), size=gen)
-    bias = (rng.random((gen, 3)).astype(np.float32) * 2 - 1) * (voxel_size * scales[:, None])
-    aug = np.clip(helper_points[pick] + bias, pc_range[:3], pc_range[3:6])
-
+    pick = rng.integers(0, n, size=gen)
+    scales = rng.integers(1, aug_bias_scale + 1, size=gen).astype(np.float32)
+    out = np.empty((aug_num, 3), dtype=np.float32)
     out[:n] = helper_points
-    out[n:] = aug
+    aug = out[n:]
+    rng.random(out=aug, dtype=np.float32)  # U[0,1), drawn straight into out
+    aug *= 2.0
+    aug -= 1.0
+    aug *= voxel_size  # (3,) broadcast
+    aug *= scales[:, None]
+    aug += helper_points.astype(np.float32, copy=False)[pick]
+    np.maximum(aug, pc_range[:3], out=aug)
+    np.minimum(aug, pc_range[3:6], out=aug)
     return out

@@ -179,6 +179,11 @@ class GenerationEngine:
         self._train_step = jax.jit(self._train_step_impl, donate_argnums=(0,))
         self._sample = jax.jit(self._sample_impl)
         self._decode = jax.jit(self._decode_impl)
+        # threshold-only decode for the refine pass: bool readback is 4x
+        # smaller over the tunnel than the f32 logits nobody looks at
+        self._decode_hits = jax.jit(
+            lambda vp, t, q: self._decode_impl(vp, t, q) > 0
+        )
         self._vae_encode = jax.jit(self._vae_encode_impl)
         self._radar_encode = jax.jit(self._radar_encode_impl)
         # the whole eval chain in ONE dispatch: host->device call overhead is
@@ -417,15 +422,35 @@ class GenerationEngine:
         out = self.vae_eval.apply({"params": vae_params}, tokens, queries, method="decode")
         return jnp.squeeze(out, -1)
 
-    def _sample_and_decode_impl(self, params, vae_params, radar_cube, seeds, q_eval, q_grid):
-        """sample -> decode(eval queries) -> decode(grid) fused into one jit."""
+    def _sample_and_decode_impl(self, params, vae_params, radar_cube, seeds, q_eval, grid, helper):
+        """sample -> decode(eval queries) -> decode(grid [+ helper]) in one jit.
+
+        ``grid``: ONE (Q, 3) random grid shared by every frame of the batch,
+        broadcast on DEVICE — the host-duplicated per-frame grid was ~100 MB
+        of host->device traffic per batch-8 eval step on the tunneled TPU
+        (profiled: device_put was ~40% of the warm product-eval wall).
+        ``helper``: optional per-frame (B, H, 3) CFAR helper points,
+        concatenated after the grid. Grid occupancy comes back as BOOLEAN
+        hits — the eval loop only ever thresholds it, and the bool readback
+        is 4x smaller. Query-axis padding for ``shard_queries`` also moved
+        in here (static shapes — free at trace time)."""
         tokens = self._sample_impl(params, radar_cube, seeds)
         logits_eval = self._decode_impl(vae_params, tokens, q_eval)
+        bsz = q_eval.shape[0]
+        q_grid = jnp.broadcast_to(grid[None].astype(jnp.float32), (bsz,) + grid.shape)
+        if helper is not None:
+            q_grid = jnp.concatenate([q_grid, helper.astype(q_grid.dtype)], axis=1)
+        n_true = q_grid.shape[1]
         if self.shard_queries:
+            n_dev = self.mesh.devices.size
+            pad = (-n_true) % n_dev
+            if pad:  # duplicate-pad for even query shards; trimmed below
+                q_grid = jnp.concatenate([q_grid, q_grid[:, :pad]], axis=1)
             logits_grid = self._decode_query_sharded(vae_params, tokens, q_grid)
+            logits_grid = logits_grid[:, :n_true]
         else:
             logits_grid = self._decode_impl(vae_params, tokens, q_grid)
-        return tokens, logits_eval, logits_grid
+        return tokens, logits_eval, logits_grid > 0
 
     def _decode_query_sharded(self, vae_params, tokens, queries):
         """Shard the query axis over the mesh's data axis (SURVEY §5.7:
@@ -676,28 +701,24 @@ class GenerationEngine:
                     radar_cube = self._radar_encode(radar_enc_params, radar_cube)
 
             fused = not (use_pred_latent or test_sample_speed or iou_test_only)
-            grid_logits = None
+            grid_hits = grid_b = helper = None
             if fused:
-                # one dispatch per frame: sample + both decodes (per-call
-                # host->device overhead is tens of ms on tunneled TPUs)
+                # one dispatch per batch: sample + both decodes (per-call
+                # host->device overhead is tens of ms on tunneled TPUs).
+                # The shared grid is broadcast and the helper concatenated
+                # ON DEVICE (see _sample_and_decode_impl); hits come back
+                # as bools.
                 grid = make_grid()
-                grid_b = np.broadcast_to(grid, (bsz, num_query, 3)).copy()
                 if use_helper and "helper_points" in batch:
                     helper = np.asarray(batch["helper_points"], np.float32)
-                    grid_b = np.concatenate([grid_b, helper], axis=1)
-                grid_true = grid_b.shape[1]
-                if self.shard_queries:
-                    n_dev = self.mesh.devices.size
-                    pad = (-grid_b.shape[1]) % n_dev
-                    if pad:  # duplicate-pad for even shards; trimmed below
-                        grid_b = np.concatenate([grid_b, grid_b[:, :pad]], axis=1)
                 seeds = jnp.arange(it * bsz, it * bsz + bsz)
-                tokens, logits, grid_logits = self._sample_and_decode(
+                tokens, logits, grid_hits = self._sample_and_decode(
                     params, vae_params, radar_cube, seeds,
-                    jax.device_put(batch["query_points"]), jax.device_put(grid_b),
+                    jax.device_put(batch["query_points"]),
+                    jax.device_put(grid),
+                    None if helper is None else jax.device_put(helper),
                 )
-                grid_logits = np.asarray(grid_logits)[:, :grid_true]
-                grid_b = grid_b[:, :grid_true]
+                grid_hits = np.asarray(grid_hits)
             elif use_pred_latent:
                 tokens = jax.device_put(np.asarray(batch["pred_latent"], np.float32))
                 if tokens.ndim == 4:  # reference .pt latents carry (1, M, D) per frame
@@ -739,16 +760,28 @@ class GenerationEngine:
                 continue
 
             # uniform grid (+ helper points) -> thresholded point cloud -> CD
-            if grid_logits is not None:
-                logits = grid_logits
-            else:
+            if grid_hits is None:  # non-fused fallback (use_pred_latent)
                 grid = make_grid()
                 grid_b = np.broadcast_to(grid, (bsz, num_query, 3)).copy()
                 if use_helper and "helper_points" in batch:
                     helper = np.asarray(batch["helper_points"], np.float32)
                     grid_b = np.concatenate([grid_b, helper], axis=1)
-                logits = np.asarray(self._decode(vae_params, tokens, jax.device_put(grid_b)))
-            # threshold the grid logits per frame, then run the refine decode
+                grid_hits = np.asarray(
+                    self._decode_hits(vae_params, tokens, jax.device_put(grid_b))
+                )
+
+            def frame_positives(i):
+                """Host coordinates of frame i's hit queries (the fused path
+                never materializes the per-frame grid copy)."""
+                m = grid_hits[i]
+                if grid_b is not None:
+                    return grid_b[i][m]
+                pos = grid[m[:num_query]]
+                if helper is not None:
+                    pos = np.concatenate([pos, helper[i][m[num_query:]]], axis=0)
+                return pos
+
+            # threshold the grid hits per frame, then run the refine decode
             # as ONE batched dispatch for the whole frame loop (a per-frame
             # batch-1 dispatch costs ~30 ms of tunnel overhead each on this
             # hardware; aug_query_helper's output count is fixed, so the
@@ -760,7 +793,7 @@ class GenerationEngine:
                 refined_norm = np.zeros((bsz, refine_n, 3), np.float32)
                 do_refine = np.zeros(bsz, dtype=bool)
             for i in range(bsz):
-                pos = grid_b[i][logits[i] > 0]
+                pos = frame_positives(i)
                 pred = geo.inverse_norm_points(pos, lidar.pc_range, aniso, iso)
                 if refine_query and len(pred):
                     refined = aug_query_helper(
@@ -777,13 +810,13 @@ class GenerationEngine:
                     do_refine[i] = True
                 preds.append(pred)
             if refine_query and do_refine.any():
-                r_logits = np.asarray(
-                    self._decode(vae_params, tokens, jax.device_put(refined_norm))
+                r_hits = np.asarray(
+                    self._decode_hits(vae_params, tokens, jax.device_put(refined_norm))
                 )
                 for i in range(bsz):
                     if do_refine[i]:
                         preds[i] = geo.inverse_norm_points(
-                            refined_norm[i][r_logits[i] > 0], lidar.pc_range, aniso, iso
+                            refined_norm[i][r_hits[i]], lidar.pc_range, aniso, iso
                         )
 
             cds, fscores = [], []

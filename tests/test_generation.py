@@ -403,19 +403,21 @@ class TestBatchedRefineDecode:
         calls = []
         refine_n = int(float(cfg.eval.inference.refine_query_aug_num))
 
-        def fake_decode(vp, tokens, queries):
+        def fake_decode_hits(vp, tokens, queries):
             calls.append(tuple(queries.shape))
-            return jnp.ones(queries.shape[:2], jnp.float32)  # all positive
+            return jnp.ones(queries.shape[:2], bool)  # all positive
 
         real_sad = engine._sample_and_decode
 
-        def fake_sample_and_decode(params, vp, radar_cube, seeds, q_eval, q_grid):
-            tokens, logits_eval, _ = real_sad(params, vp, radar_cube, seeds, q_eval, q_grid)
+        def fake_sample_and_decode(params, vp, radar_cube, seeds, q_eval, grid, helper):
+            tokens, logits_eval, hits = real_sad(
+                params, vp, radar_cube, seeds, q_eval, grid, helper
+            )
             # force every frame to have positive grid predictions so the
             # refine branch runs for all frames deterministically
-            return tokens, logits_eval, jnp.ones(q_grid.shape[:2], jnp.float32)
+            return tokens, logits_eval, jnp.ones_like(hits)
 
-        engine._decode = fake_decode
+        engine._decode_hits = fake_decode_hits
         engine._sample_and_decode = fake_sample_and_decode
         stats = engine.evaluate(state, eval_loader, vae_params, print_fn=lambda *a: None)
         assert 0.0 <= stats["iou"] <= 1.0
