@@ -123,8 +123,18 @@ def build():
         # quantized inference (eval.inference.int8_ff/int8_attn in the
         # product path) — the 'vout' attn mode keeps q/k bf16: on the
         # trained 480-epoch checkpoint it is quality-neutral (IoU 0.642 vs
-        # bf16 0.643) where full-attn int8 costs -0.012 IoU (docs/DESIGN.md)
-        model = model.copy(use_int8_ff=True, use_int8_attn="vout")
+        # bf16 0.643) where full-attn int8 costs -0.012 IoU (docs/DESIGN.md).
+        # RALD_BENCH_INT8=static selects the calibrated-activation-scale FF
+        # kernel (eval.inference.int8_ff: "static" in the product path —
+        # throughput is scale-value-independent, so the bench feeds a
+        # constant table; quality is gated separately on the trained
+        # checkpoint by scripts/int8_gate.py).
+        int8_ff = os.environ.get("RALD_BENCH_INT8", "dynamic")
+        assert int8_ff in ("dynamic", "static"), int8_ff
+        model = model.copy(
+            use_int8_ff=True if int8_ff == "dynamic" else "static",
+            use_int8_attn="vout",
+        )
     vae = get_ae_model(
         "kl_d512_m512_l32_mix", N=10000, dtype=dtype, fold_decode_tail=True,
         use_fused_ff=on_tpu,
@@ -188,10 +198,23 @@ def build():
             model.apply(variables, t_steps[:-1], method="compute_mod_table")
         )
 
+        act_table = None
+        if model.use_int8_ff == "static":
+            # constant calibration stand-in (see build() comment): shape and
+            # per-step indexing identical to the engine's real table
+            act_table = jnp.full(
+                (t_steps.shape[0] - 1, model.depth, 2), 4.0, jnp.float32
+            )
+
         def denoise_indexed(x, sigma, idx):
             mods = unstack_mods(table[idx])
+            sc = None
+            if act_table is not None:
+                row = act_table[idx]
+                sc = tuple((row[i, 0], row[i, 1]) for i in range(row.shape[0]))
             return model.apply(
-                variables, x, sigma, mods, cond, method="denoise_with_mods"
+                variables, x, sigma, mods, cond, method="denoise_with_mods",
+                act_scales=sc,
             )
 
         tokens = edm_sampler(lambda x, s: None, latents, denoise_indexed=denoise_indexed)
@@ -296,7 +319,12 @@ def main():
 
     if best > 0 and elapsed() <= WALL_GUARD_S:
         try:
-            bench_sampler_only(model, params)
+            if model.use_int8_ff == "static":
+                # denoise() without act_scales falls back to the dynamic
+                # kernel — the secondary metric would silently mismeasure
+                log("sampler-only metric skipped in static-int8 mode")
+            else:
+                bench_sampler_only(model, params)
         except Exception as e:
             log(f"sampler-only metric failed: {e}")
 

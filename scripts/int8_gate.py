@@ -14,9 +14,12 @@ the synthetic test split in three inference modes — against a given
         produce it with scripts/calibrate_int8.py)
 
 Usage:
-  python scripts/int8_gate.py [CURVES_ROOT] [CKPT]
+  python scripts/int8_gate.py [CURVES_ROOT] [CKPT] [MODES]
     CURVES_ROOT: tree from scripts/rerun_to_convergence.sh (default /tmp/curves)
     CKPT:        stage-2 checkpoint dir (default <root>/out_gen/checkpoint-479)
+    MODES:       comma-separated subset of mode names to (re-)run; other
+                 modes' rows are kept from the existing artifact, so a new
+                 mode can be gated without re-running the settled ones
 
 Writes docs/artifacts/int8_gate_<ckpt-name>.json with IoU / CD / F-score
 per mode and the deltas vs bf16.
@@ -46,7 +49,11 @@ MODES = (
 def main():
     root = Path(sys.argv[1]) if len(sys.argv) > 1 else Path("/tmp/curves")
     ckpt = Path(sys.argv[2]) if len(sys.argv) > 2 else root / "out_gen" / "checkpoint-479"
+    only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
     assert ckpt.exists(), f"no checkpoint at {ckpt}"
+    if only:
+        unknown = only - {n for n, _ in MODES}
+        assert not unknown, f"unknown mode(s) {sorted(unknown)}"
 
     if os.environ.get("RALD_BENCH_CPU") == "1":  # harness smoke tests
         import jax
@@ -55,8 +62,16 @@ def main():
 
     from rald_tpu.cli.main_generation import run  # noqa: E402
 
+    path = REPO / "docs" / "artifacts" / f"int8_gate_{ckpt.name}.json"
     results = {}
+    if only and path.exists():
+        # partial run: keep the settled rows for the modes we're not re-running
+        prior = json.loads(path.read_text())
+        if prior.get("ckpt") == str(ckpt):
+            results = {k: v for k, v in prior["modes"].items() if k not in only}
     for name, flags in MODES:
+        if only and name not in only:
+            continue
         if flags.get("int8_ff") == "static" and not (ckpt / "int8_act_scales.npz").exists():
             print(f"=== mode {name} skipped: no {ckpt}/int8_act_scales.npz "
                   "(run scripts/calibrate_int8.py) ===", flush=True)
@@ -89,7 +104,6 @@ def main():
         "protocol": "main_generation eval mode, synthetic test split (gen.yml recipe)",
         "modes": results,
     }
-    path = REPO / "docs" / "artifacts" / f"int8_gate_{ckpt.name}.json"
     path.write_text(json.dumps(out, indent=2) + "\n")
     print(json.dumps(out, indent=2))
     print("written:", path)
