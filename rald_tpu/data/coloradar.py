@@ -69,6 +69,13 @@ class ColoRadarDataset:
             self.query_helper_aug = config.get("query_helper_aug", False)
             self.query_aug_num = int(float(config.get("query_aug_num", 0)))
             self.query_aug_scale = int(config.get("query_aug_scale", 2))
+            # ship RAW CFAR points (bucket-padded + mask) and densify to
+            # query_aug_num INSIDE the engine's fused eval program instead
+            # of augmenting on the host: the densified set is ~1e3x larger
+            # than the raw one and was the single largest host->device
+            # transfer of the eval step (67 MB/batch-8 at the reference
+            # recipe; docs/artifacts/product_eval_attrib.json)
+            self.helper_aug_on_device = bool(config.get("helper_aug_on_device", False))
 
         # lidar config (reference: Coloradar_dataset.py:49-66)
         lidar = config.lidar
@@ -214,7 +221,7 @@ class ColoRadarDataset:
     def load_helper_point(self, idx, rng):
         path = self.cfar_query_helper_path_list[idx]
         pts = np.fromfile(path, dtype=np.float32).reshape(-1, self.num_point_features)
-        if self.query_helper_aug:
+        if self.query_helper_aug and not self.helper_aug_on_device:
             pts = aug_query_helper(
                 pts, self.query_aug_num, self.pc_range, self.voxel_size,
                 self.query_aug_scale, rng,
@@ -302,7 +309,18 @@ class ColoRadarDataset:
 
         if self.use_query_helper:
             helper, helper_path = self.load_helper_point(index, rng)
-            data["helper_points"] = self._norm(helper[:, :3])
+            if self.query_helper_aug and self.helper_aug_on_device:
+                from rald_tpu.data.bucket import pad_axis0
+
+                # raw CFAR points, pow2-bucket-padded: the engine densifies
+                # to query_aug_num in-graph (helper_mask marks real rows)
+                cap = max(1024, 1 << (max(len(helper), 1) - 1).bit_length())
+                cap = min(cap, self.query_aug_num) if self.query_aug_num else cap
+                padded, mask = pad_axis0(self._norm(helper[:, :3]), cap)
+                data["helper_points"] = padded.astype(np.float32)
+                data["helper_mask"] = mask.astype(bool)
+            else:
+                data["helper_points"] = self._norm(helper[:, :3])
             data["helper_point_path"] = str(helper_path)
 
         if self.load_radar:

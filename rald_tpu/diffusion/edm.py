@@ -114,7 +114,11 @@ def edm_sampler(
     xs (2*num_steps-1, B, M, C))`` in call order — the inputs one needs to
     replay the denoiser offline (int8 activation-scale calibration,
     trajectory debugging) without duplicating the Heun semantics. Return
-    value becomes ``(x_final, (idxs, xs))``.
+    value becomes ``(x_final, (idxs, xs))``. Caveat: with ``s_churn > 0``
+    the denoiser is evaluated at the churned sigma ``t_hat != t_steps[idx]``,
+    so a captured index does NOT identify the evaluation sigma — replaying
+    at ``t_steps[idx]`` is only exact when churn is off (the calibration
+    path enforces this, GenerationEngine.calibrate_act_scales).
     """
     if denoise_indexed is not None:
         assert s_churn <= 0, "denoise_indexed requires s_churn == 0 (on-schedule sigmas)"

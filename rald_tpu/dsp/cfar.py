@@ -26,7 +26,6 @@ from rald_tpu.dsp.bins import get_bins
 
 def weibull_quantile(values: jnp.ndarray, q: float) -> jnp.ndarray:
     """np.quantile(values, q, method='weibull') over the last axis."""
-    n = values.shape[-1]
     mask = jnp.ones(values.shape, dtype=bool)
     return masked_weibull_quantile(values, mask, q)
 

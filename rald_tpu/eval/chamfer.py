@@ -152,3 +152,74 @@ def chamfer_and_fscore(pred: np.ndarray, gt: np.ndarray, tau: float) -> tuple:
         return float("inf"), 0.0
     cd, f = masked_chamfer_fscore(*_pad_pow2(pred, gt), jnp.float32(tau))
     return float(cd), float(f)
+
+
+def batched_cd_fscore_graph(pred, pred_mask, gt, gt_mask, tau, use_pallas):
+    """(B, P, 3)/(B, P) + (B, G, 3)/(B, G) -> ((B,) Chamfer, (B,) F-score).
+
+    Traceable body shared by the host wrapper below and the engines' fused
+    in-graph eval step. On TPU the NN passes run through the Pallas
+    min-distance kernel (rald_tpu.ops.nn_dist_kernel — VMEM-tiled, no (P, G)
+    matrix in HBM); elsewhere the vmapped scan formulation."""
+    from rald_tpu.ops.nn_dist_kernel import nn_min_sq_batch
+
+    pred_valid = jnp.where(pred_mask[..., None], pred, _BIG)
+    gt_valid = jnp.where(gt_mask[..., None], gt, _BIG)
+    if use_pallas:
+        d_pg = jnp.sqrt(jnp.maximum(nn_min_sq_batch(pred_valid, gt_valid), 0.0))
+        d_gp = jnp.sqrt(jnp.maximum(nn_min_sq_batch(gt_valid, pred_valid), 0.0))
+    else:
+        d_pg = jax.vmap(nearest_neighbor_dists)(pred_valid, gt_valid)
+        d_gp = jax.vmap(nearest_neighbor_dists)(gt_valid, pred_valid)
+    pm = pred_mask.astype(jnp.float32)
+    gm = gt_mask.astype(jnp.float32)
+    n_pred = jnp.maximum(jnp.sum(pm, axis=1), 1.0)
+    n_gt = jnp.maximum(jnp.sum(gm, axis=1), 1.0)
+    mean_pg = jnp.sum(d_pg * pm, axis=1) / n_pred
+    mean_gp = jnp.sum(d_gp * gm, axis=1) / n_gt
+    cd = 0.5 * mean_pg + 0.5 * mean_gp
+    precision = jnp.sum((d_pg < tau).astype(jnp.float32) * pm, axis=1) / n_pred
+    recall = jnp.sum((d_gp < tau).astype(jnp.float32) * gm, axis=1) / n_gt
+    f = jnp.where(
+        precision + recall > 0, 2 * precision * recall / (precision + recall), 0.0
+    )
+    empty = jnp.sum(pm, axis=1) == 0
+    return jnp.where(empty, jnp.inf, cd), jnp.where(empty, 0.0, f)
+
+
+@partial(jax.jit, static_argnames=("use_pallas",))
+def _batched_cd_fscore(pred, pred_mask, gt, gt_mask, tau, use_pallas):
+    return batched_cd_fscore_graph(pred, pred_mask, gt, gt_mask, tau, use_pallas)
+
+
+def chamfer_and_fscore_batch(preds: list, gts: list, tau: float) -> tuple:
+    """Host API: per-frame (Chamfer, F-score@tau) for a whole eval batch in
+    ONE device dispatch (the per-frame variant costs a dispatch + sync each,
+    ~30 ms of tunnel overhead per frame on this hardware).
+
+    Frames share power-of-two pad caps (the max over the batch), so the
+    number of compiled programs stays bounded by the bucket pair like the
+    per-frame path. Empty predictions keep the reference semantics
+    (utils/utils.py:116-137): CD inf, F-score 0.
+    """
+    bsz = len(preds)
+    assert bsz == len(gts)
+    preds = [np.asarray(p, np.float32).reshape(-1, 3) for p in preds]
+    gts = [np.asarray(g, np.float32).reshape(-1, 3) for g in gts]
+    cap_p = max(8, 1 << (max(max(len(p) for p in preds), 1) - 1).bit_length())
+    cap_g = max(8, 1 << (max(max(len(g) for g in gts), 1) - 1).bit_length())
+    pred_pad = np.full((bsz, cap_p, 3), _BIG, np.float32)
+    gt_pad = np.full((bsz, cap_g, 3), _BIG, np.float32)
+    pmask = np.zeros((bsz, cap_p), bool)
+    gmask = np.zeros((bsz, cap_g), bool)
+    for i, (p, g) in enumerate(zip(preds, gts)):
+        pred_pad[i, : len(p)] = p
+        gt_pad[i, : len(g)] = g
+        pmask[i, : len(p)] = True
+        gmask[i, : len(g)] = True
+    cd, f = _batched_cd_fscore(
+        pred_pad, pmask, gt_pad, gmask, jnp.float32(tau),
+        use_pallas=jax.default_backend() == "tpu",
+    )
+    cd, f = np.asarray(cd), np.asarray(f)
+    return cd.tolist(), f.tolist()

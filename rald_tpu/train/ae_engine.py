@@ -33,7 +33,7 @@ import numpy as np
 import optax
 
 from rald_tpu import geometry as geo
-from rald_tpu.eval.chamfer import chamfer_and_fscore, chamfer_distance
+from rald_tpu.eval.chamfer import chamfer_and_fscore_batch
 from rald_tpu.eval.occupancy import occupancy_metrics
 from rald_tpu.eval.queries import build_query_grid
 from rald_tpu.models.registry import get_ae_model
@@ -263,7 +263,7 @@ class AEEngine:
             )
             logger.update(**{k: float(v) for k, v in metrics.items()})
             logits = np.asarray(logits)
-            cds, fscores = [], []
+            preds_xyz, gts_xyz = [], []
             for i in range(bsz):
                 pos = grid[logits[i] > 0]
                 pred = geo.inverse_norm_points(pos, lidar.pc_range, lidar.norm_anisotropy, lidar.norm_isotropy)
@@ -271,11 +271,13 @@ class AEEngine:
                     surface[i], lidar.pc_range, lidar.norm_anisotropy, lidar.norm_isotropy
                 )
                 if lidar.get("view_cone_mode", False):
-                    pred = geo.polar2cartesian(pred)
+                    pred = geo.polar2cartesian(pred) if len(pred) else pred.reshape(0, 3)
                     gt = geo.polar2cartesian(gt)
-                cd, f = chamfer_and_fscore(pred, gt, self.fscore_tau)
-                cds.append(cd)
-                fscores.append(f)
+                preds_xyz.append(pred)
+                gts_xyz.append(gt)
+            # ONE batched Chamfer/F-score dispatch per eval batch (the
+            # per-frame variant costs a dispatch + sync each)
+            cds, fscores = chamfer_and_fscore_batch(preds_xyz, gts_xyz, self.fscore_tau)
             logger.update(cd=float(np.mean(cds)), fscore=float(np.mean(fscores)))
 
         logger.synchronize_between_processes()

@@ -44,3 +44,46 @@ def maybe_trace(cfg=None, profile_dir: Optional[str] = None):
 def annotate(name: str):
     """Named sub-region inside a trace (shows up on the TPU timeline)."""
     return jax.profiler.TraceAnnotation(name)
+
+
+class StageTimer:
+    """Accumulating wall-clock attribution for a host-driven loop.
+
+    ``with st("stage"): ...`` adds the block's wall time to that stage's
+    bucket; :meth:`report` returns ``{stage: seconds}``. When ``enabled`` is
+    False every operation is a no-op so the instrumented code path costs
+    nothing in production. ``block=True`` regions additionally
+    ``jax.block_until_ready`` their result so async device work is charged
+    to the stage that launched it (profiling only — it serializes the
+    host/device overlap it measures).
+    """
+
+    def __init__(self, enabled: bool = True):
+        self.enabled = enabled
+        self.seconds: dict = {}
+        self.counts: dict = {}
+
+    @contextlib.contextmanager
+    def __call__(self, stage: str):
+        if not self.enabled:
+            yield
+            return
+        import time
+
+        t0 = time.perf_counter()
+        try:
+            yield
+        finally:
+            dt = time.perf_counter() - t0
+            self.seconds[stage] = self.seconds.get(stage, 0.0) + dt
+            self.counts[stage] = self.counts.get(stage, 0) + 1
+
+    def block(self, value):
+        """Block on ``value`` iff profiling (so async dispatches get charged
+        to the stage that launched them); returns ``value`` either way."""
+        if self.enabled:
+            jax.block_until_ready(value)
+        return value
+
+    def report(self) -> dict:
+        return dict(sorted(self.seconds.items(), key=lambda kv: -kv[1]))

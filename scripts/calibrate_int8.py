@@ -14,10 +14,13 @@ This driver produces those scales:
      (GenerationEngine.calibrate_act_scales).
 
 Usage:
-  python scripts/calibrate_int8.py [CURVES_ROOT] [CKPT] [NUM_BATCHES]
+  python scripts/calibrate_int8.py [CURVES_ROOT] [CKPT] [NUM_BATCHES] [MARGIN]
     CURVES_ROOT: tree from scripts/rerun_to_convergence.sh (default /tmp/curves)
     CKPT:        stage-2 checkpoint dir (default <root>/out_gen/checkpoint-479)
     NUM_BATCHES: eval batches to calibrate on (default 2)
+    MARGIN:      multiplier on the observed amax (default 1.05 — activations
+                 above the calibrated scale saturate at eval time with int8
+                 clip semantics, so a small sample needs headroom)
 
 Writes <CKPT>/int8_act_scales.npz — the default path the engine loads when
 ``int8_ff: "static"`` is set. Quality-gate the result with
@@ -42,6 +45,7 @@ def main():
     root = Path(sys.argv[1]) if len(sys.argv) > 1 else Path("/tmp/curves")
     ckpt = Path(sys.argv[2]) if len(sys.argv) > 2 else root / "out_gen" / "checkpoint-479"
     num_batches = int(sys.argv[3]) if len(sys.argv) > 3 else 2
+    margin = float(sys.argv[4]) if len(sys.argv) > 4 else 1.05
     assert ckpt.exists(), f"no checkpoint at {ckpt}"
 
     if os.environ.get("RALD_BENCH_CPU") == "1":  # harness smoke tests
@@ -74,7 +78,7 @@ def main():
 
     ah, ag = engine.calibrate_act_scales(
         state, eval_loader, radar_enc_params=radar_enc_params,
-        num_batches=num_batches, use_ema=use_ema,
+        num_batches=num_batches, use_ema=use_ema, margin=margin,
     )
     num_steps = int(engine.sampler_kwargs["num_steps"])
     path = ckpt / "int8_act_scales.npz"

@@ -96,12 +96,24 @@ def main():
         }
         print(name, results[name], flush=True)
 
-    base = results["bf16"]
+    base = results.get("bf16")
+    if base is None:
+        print(
+            "NOTE: no bf16 row (run without MODES, or include 'bf16') — "
+            "deltas vs bf16 omitted from this artifact", flush=True,
+        )
     for name in results:
-        results[name]["delta_iou_vs_bf16"] = round(results[name]["iou"] - base["iou"], 4)
+        if base is not None:
+            results[name]["delta_iou_vs_bf16"] = round(results[name]["iou"] - base["iou"], 4)
+        else:
+            results[name].pop("delta_iou_vs_bf16", None)
+    import jax
+
     out = {
         "ckpt": str(ckpt),
         "protocol": "main_generation eval mode, synthetic test split (gen.yml recipe)",
+        "matmul_precision": str(jax.config.jax_default_matmul_precision or "default"),
+        "backend": jax.default_backend(),
         "modes": results,
     }
     path.write_text(json.dumps(out, indent=2) + "\n")

@@ -24,7 +24,17 @@ Usage:
                  (default /tmp/curves)
     CKPT:        stage-2 checkpoint dir (default <root>/out_gen/checkpoint-479)
 
-Writes docs/artifacts/product_eval_bench.json.
+Env knobs:
+  RALD_PE_PROFILE=1   attribute the timed pass to pipeline stages with
+                      StageTimer (serializes host/device overlap — the
+                      attribution run, not the published number) and write
+                      docs/artifacts/product_eval_attrib.json instead.
+  RALD_PE_BATCHES=N   cap each pass at N loader batches (quick attribution
+                      runs; the published number uses the full split).
+  RALD_BENCH_INT8     '', '1'/'dynamic', or 'static' — forwarded to
+                      eval.inference.int8_ff like bench.py.
+
+Writes docs/artifacts/product_eval_bench.json (or _attrib.json).
 """
 from __future__ import annotations
 
@@ -57,6 +67,11 @@ def main():
     cfg.dataset.query_helper_aug = True
     cfg.dataset.query_aug_num = 7e5
     cfg.dataset.query_aug_scale = 2
+    # ship RAW CFAR points; densify to 7e5 inside the fused eval program
+    # (the host-densified set was a 67 MB/batch upload — the largest row of
+    # the round-5 stage attribution). RALD_PE_HOST_HELPER=1 restores the
+    # host-aug path for A/B measurement.
+    cfg.dataset.helper_aug_on_device = os.environ.get("RALD_PE_HOST_HELPER") != "1"
     cfg.eval.inference = Config({
         "num_query_points": 500000,
         "query_helper": True,
@@ -66,9 +81,21 @@ def main():
         "refine_query_aug_num": 500000,
         "refine_query_scale": 10,
     })
+    int8_env = os.environ.get("RALD_BENCH_INT8", "")
+    if int8_env in ("1", "dynamic"):
+        cfg.eval.inference.int8_ff = True
+        cfg.eval.inference.int8_attn = "vout"
+    elif int8_env == "static":
+        cfg.eval.inference.int8_ff = "static"
+        cfg.eval.inference.int8_attn = "vout"
+    elif int8_env:
+        raise SystemExit(f"RALD_BENCH_INT8 must be ''/'1'/'dynamic'/'static', got {int8_env!r}")
     cfg.eval.use_test_set = True
     cfg.eval.store_pc = False
     cfg.eval.freq = 1
+
+    profile = os.environ.get("RALD_PE_PROFILE") == "1"
+    max_batches = int(os.environ.get("RALD_PE_BATCHES", "0") or 0)
 
     import jax  # noqa: E402  (after config so env hooks apply)
 
@@ -94,11 +121,28 @@ def main():
     frames = sum(1 for _ in iter(eval_loader.sampler))
     use_ema = bool(cfg.train.get("use_ema", True))
 
+    loader = eval_loader
+    if max_batches:
+
+        class _Capped:
+            def __iter__(self):
+                import itertools
+
+                return itertools.islice(iter(eval_loader), max_batches)
+
+        loader = _Capped()
+        frames = min(frames, max_batches * int(cfg.dataset.get("eval_batch_size", 1)))
+
+    from rald_tpu.train.profiler import StageTimer  # noqa: E402
+
     results = {}
+    stage_report = None
     for pass_name in ("warmup", "timed"):
+        timer = StageTimer(enabled=profile and pass_name == "timed")
         t0 = time.perf_counter()
         stats = engine.evaluate(
-            state, eval_loader, vae_params, radar_enc_params, use_ema=use_ema,
+            state, loader, vae_params, radar_enc_params, use_ema=use_ema,
+            stage_timer=timer,
         )
         wall = time.perf_counter() - t0
         results[pass_name] = {
@@ -110,17 +154,32 @@ def main():
             "fscore": round(float(stats.get("fscore", -1)), 4),
         }
         print(f"[{pass_name}] {results[pass_name]}", flush=True)
+        if timer.enabled:
+            stage_report = {k: round(v, 3) for k, v in timer.report().items()}
+            covered = sum(timer.seconds.values())
+            stage_report["_stages_total_s"] = round(covered, 3)
+            stage_report["_wall_s"] = round(wall, 3)
+            stage_report["_unattributed_s"] = round(wall - covered, 3)
+            print("stage attribution (s):", json.dumps(stage_report, indent=2), flush=True)
 
     out = {
         "recipe": "reference full eval: grid 500k + CFAR helper aug 7e5 + refine 5e5 scale 10",
         "eval_batch_size": int(cfg.dataset.get("eval_batch_size", 1)),
         "ckpt": str(ckpt),
         "backend": jax.default_backend(),
+        "inference_mode": {"": "bf16", "1": "int8_dynamic+vout", "dynamic": "int8_dynamic+vout",
+                           "static": "int8_static+vout"}[int8_env],
+        "matmul_precision": str(jax.config.jax_default_matmul_precision or "default"),
         "passes": results,
         "note": "timed pass = all XLA programs cached; includes host pipeline, "
                 "helper/refine augmentation and Chamfer/F-score metrics",
     }
-    path = REPO / "docs" / "artifacts" / "product_eval_bench.json"
+    out["compiled_programs"] = engine.compiled_program_counts()
+    if stage_report is not None:
+        out["stage_attribution_s"] = stage_report
+        out["note"] += "; PROFILED run (stage attribution serializes overlap)"
+    name = "product_eval_attrib.json" if profile or max_batches else "product_eval_bench.json"
+    path = REPO / "docs" / "artifacts" / name
     path.write_text(json.dumps(out, indent=2) + "\n")
     print(json.dumps(out["passes"]["timed"]), flush=True)
     print("written:", path)

@@ -128,3 +128,57 @@ class TestFscore:
         pts = np.random.default_rng(5).normal(size=(64, 3)).astype(np.float32)
         cd, f = chamfer_and_fscore(pts, pts, tau=0.05)
         assert cd == pytest.approx(0.0, abs=1e-5) and f == pytest.approx(1.0)
+
+
+class TestBatchedChamfer:
+    """One-dispatch-per-eval-batch Chamfer/F-score (VERDICT r4 #1b): the
+    batched path must agree with the settled per-frame path on ragged
+    clouds, including the empty-prediction edge."""
+
+    def test_matches_per_frame(self):
+        from rald_tpu.eval.chamfer import chamfer_and_fscore, chamfer_and_fscore_batch
+
+        rng = np.random.default_rng(6)
+        preds = [rng.normal(size=(n, 3)).astype(np.float32) for n in (37, 301, 1, 129)]
+        gts = [rng.normal(size=(n, 3)).astype(np.float32) for n in (90, 55, 200, 64)]
+        cds, fs = chamfer_and_fscore_batch(preds, gts, tau=0.5)
+        for i in range(4):
+            cd_i, f_i = chamfer_and_fscore(preds[i], gts[i], tau=0.5)
+            assert cds[i] == pytest.approx(cd_i, rel=1e-5)
+            assert fs[i] == pytest.approx(f_i, abs=1e-5)
+
+    def test_empty_pred_frame(self):
+        from rald_tpu.eval.chamfer import chamfer_and_fscore_batch
+
+        rng = np.random.default_rng(7)
+        preds = [np.zeros((0, 3), np.float32), rng.normal(size=(40, 3)).astype(np.float32)]
+        gts = [np.ones((5, 3), np.float32), rng.normal(size=(30, 3)).astype(np.float32)]
+        cds, fs = chamfer_and_fscore_batch(preds, gts, tau=0.1)
+        assert cds[0] == float("inf") and fs[0] == 0.0
+        assert np.isfinite(cds[1])
+
+
+class TestNNMinKernel:
+    """Pallas min-distance kernel (interpret mode on CPU) vs numpy brute
+    force — the TPU Chamfer inner loop (rald_tpu/ops/nn_dist_kernel.py)."""
+
+    def test_matches_bruteforce(self):
+        from rald_tpu.ops.nn_dist_kernel import nn_min_sq_batch
+
+        rng = np.random.default_rng(8)
+        a = rng.normal(size=(2, 40, 3)).astype(np.float32) * 5
+        b = rng.normal(size=(2, 17, 3)).astype(np.float32) * 5
+        got = np.asarray(nn_min_sq_batch(a, b, tile_a=16, tile_b=128, interpret=True))
+        d2 = ((a[:, :, None, :] - b[:, None, :, :]) ** 2).sum(-1)
+        np.testing.assert_allclose(got, d2.min(axis=2), rtol=1e-6, atol=1e-6)
+
+    def test_pad_rows_never_win(self):
+        from rald_tpu.ops.nn_dist_kernel import BIG, nn_min_sq_batch
+
+        rng = np.random.default_rng(9)
+        a = rng.normal(size=(1, 12, 3)).astype(np.float32)
+        b = np.full((1, 20, 3), BIG, np.float32)
+        b[0, :3] = rng.normal(size=(3, 3)).astype(np.float32)
+        got = np.asarray(nn_min_sq_batch(a, b, tile_a=8, tile_b=128, interpret=True))
+        d2 = ((a[:, :, None, :] - b[:, None, :3, :]) ** 2).sum(-1)
+        np.testing.assert_allclose(got, d2.min(axis=2), rtol=1e-6, atol=1e-6)
