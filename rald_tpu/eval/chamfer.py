@@ -161,13 +161,17 @@ def batched_cd_fscore_graph(pred, pred_mask, gt, gt_mask, tau, use_pallas):
     in-graph eval step. On TPU the NN passes run through the Pallas
     min-distance kernel (rald_tpu.ops.nn_dist_kernel — VMEM-tiled, no (P, G)
     matrix in HBM); elsewhere the vmapped scan formulation."""
-    from rald_tpu.ops.nn_dist_kernel import nn_min_sq_batch
+    from rald_tpu.ops.nn_dist_kernel import nn_min_sq_both
 
     pred_valid = jnp.where(pred_mask[..., None], pred, _BIG)
     gt_valid = jnp.where(gt_mask[..., None], gt, _BIG)
     if use_pallas:
-        d_pg = jnp.sqrt(jnp.maximum(nn_min_sq_batch(pred_valid, gt_valid), 0.0))
-        d_gp = jnp.sqrt(jnp.maximum(nn_min_sq_batch(gt_valid, pred_valid), 0.0))
+        # ONE sweep of the (P, G) distance blocks yields both directions
+        # (row min + col min) — the distance computation is the dominant
+        # VPU cost, and two independent passes would form it twice
+        d2_pg, d2_gp = nn_min_sq_both(pred_valid, gt_valid)
+        d_pg = jnp.sqrt(jnp.maximum(d2_pg, 0.0))
+        d_gp = jnp.sqrt(jnp.maximum(d2_gp, 0.0))
     else:
         d_pg = jax.vmap(nearest_neighbor_dists)(pred_valid, gt_valid)
         d_gp = jax.vmap(nearest_neighbor_dists)(gt_valid, pred_valid)

@@ -54,6 +54,81 @@ def _nn_min_kernel(a_ref, bt_ref, out_ref):
         out_ref[0] = jnp.minimum(out_ref[0], m)
 
 
+def _nn_min_both_kernel(a_ref, bt_ref, row_ref, colpart_ref):
+    """One (batch, a-tile, b-tile) grid step computing BOTH reductions of
+    the shared distance block: the row min (per-a nearest b) accumulates in
+    VMEM across the innermost b sweep like :func:`_nn_min_kernel`; the col
+    min (per-b nearest a) is written as an (n_i, TB) PARTIAL the wrapper
+    min-reduces — Chamfer needs both directions at the same (a, b), and the
+    distance block is by far the dominant VPU cost, so forming it once
+    instead of twice is a ~1.75x exact saving (min is associative, so the
+    partial+reduce order is bitwise-identical to a flat sweep)."""
+    j = pl.program_id(2)
+    a = a_ref[0]   # (TA, 8) f32
+    bt = bt_ref[0]  # (8, TB) f32
+    acc = jnp.zeros((a.shape[0], bt.shape[1]), jnp.float32)
+    for k in range(3):  # coords 4..7 are zero padding on both sides
+        diff = a[:, k : k + 1] - bt[k : k + 1, :]
+        acc += diff * diff
+    rm = jnp.min(acc, axis=1, keepdims=True)  # (TA, 1)
+
+    @pl.when(j == 0)
+    def _():
+        row_ref[0] = rm
+
+    @pl.when(j > 0)
+    def _():
+        row_ref[0] = jnp.minimum(row_ref[0], rm)
+
+    colpart_ref[0, 0] = jnp.min(acc, axis=0)  # (TB,) partial for this a-tile
+
+
+@functools.partial(jax.jit, static_argnames=("tile_a", "tile_b", "interpret"))
+def nn_min_sq_both(
+    a: jax.Array,
+    b: jax.Array,
+    tile_a: int = 1024,
+    tile_b: int = 1024,
+    interpret: bool = False,
+):
+    """(B, N, 3), (B, M, 3) f32 -> ((B, N), (B, M)) min squared distances,
+    BOTH directions from one sweep of the (N, M) distance blocks.
+
+    Same padding contract as :func:`nn_min_sq_batch`: rows carrying ``BIG``
+    coordinates never win either min; their own output entries are garbage
+    the caller masks. Results are bitwise-identical to two independent
+    :func:`nn_min_sq_batch` calls (min order is associative)."""
+    bsz, n, _ = a.shape
+    m = b.shape[1]
+    ta = min(tile_a, max(8, n))
+    tb = min(tile_b, max(128, m))
+    a = _pad_rows(a.astype(jnp.float32), ta, BIG)
+    b = _pad_rows(b.astype(jnp.float32), tb, BIG)
+    a = jnp.pad(a, ((0, 0), (0, 0), (0, 5)))
+    bt = jnp.pad(b, ((0, 0), (0, 0), (0, 5))).transpose(0, 2, 1)  # (B, 8, M)
+    n_i = a.shape[1] // ta
+    n_j = bt.shape[2] // tb
+
+    row, colpart = pl.pallas_call(
+        _nn_min_both_kernel,
+        grid=(bsz, n_i, n_j),
+        in_specs=[
+            pl.BlockSpec((1, ta, 8), lambda bi, i, j: (bi, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, tb), lambda bi, i, j: (bi, 0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, ta, 1), lambda bi, i, j: (bi, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, tb), lambda bi, i, j: (bi, i, j), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bsz, a.shape[1], 1), jnp.float32),
+            jax.ShapeDtypeStruct((bsz, n_i, bt.shape[2]), jnp.float32),
+        ],
+        interpret=interpret,
+    )(a, bt)
+    return row[:, :n, 0], jnp.min(colpart, axis=1)[:, :m]
+
+
 def _pad_rows(x: jax.Array, mult: int, value: float) -> jax.Array:
     pad = (-x.shape[1]) % mult
     if pad:

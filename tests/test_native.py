@@ -183,6 +183,24 @@ class TestNNMinKernel:
         d2 = ((a[:, :, None, :] - b[:, None, :3, :]) ** 2).sum(-1)
         np.testing.assert_allclose(got, d2.min(axis=2), rtol=1e-6, atol=1e-6)
 
+    def test_both_directions_matches_two_passes(self):
+        """nn_min_sq_both (one distance sweep, row+col min) must be bitwise
+        equal to two independent nn_min_sq_batch calls — same blocks, min is
+        associative — including under multi-tile grids and BIG-padded rows
+        on either side."""
+        from rald_tpu.ops.nn_dist_kernel import BIG, nn_min_sq_batch, nn_min_sq_both
+
+        rng = np.random.default_rng(10)
+        a = (rng.normal(size=(2, 45, 3)) * 5).astype(np.float32)
+        b = (rng.normal(size=(2, 300, 3)) * 5).astype(np.float32)
+        a[0, 40:] = BIG  # masked pred rows must not win the col min
+        b[1, 290:] = BIG  # masked gt rows must not win the row min
+        d_ab, d_ba = nn_min_sq_both(a, b, tile_a=16, tile_b=128, interpret=True)
+        want_ab = nn_min_sq_batch(a, b, tile_a=16, tile_b=128, interpret=True)
+        want_ba = nn_min_sq_batch(b, a, tile_a=16, tile_b=128, interpret=True)
+        np.testing.assert_array_equal(np.asarray(d_ab)[:, :40], np.asarray(want_ab)[:, :40])
+        np.testing.assert_array_equal(np.asarray(d_ba)[:, :290], np.asarray(want_ba)[:, :290])
+
 
 class TestChamferOracleExactness:
     """The Chamfer/F-score backends vs the scipy cKDTree oracle at REALISTIC
