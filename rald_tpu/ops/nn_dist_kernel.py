@@ -80,7 +80,7 @@ def _nn_min_both_kernel(a_ref, bt_ref, row_ref, colpart_ref):
     def _():
         row_ref[0] = jnp.minimum(row_ref[0], rm)
 
-    colpart_ref[0, 0] = jnp.min(acc, axis=0)  # (TB,) partial for this a-tile
+    colpart_ref[0, 0, 0] = jnp.min(acc, axis=0)  # (TB,) partial for this a-tile
 
 
 @functools.partial(jax.jit, static_argnames=("tile_a", "tile_b", "interpret"))
@@ -118,15 +118,20 @@ def nn_min_sq_both(
         ],
         out_specs=[
             pl.BlockSpec((1, ta, 1), lambda bi, i, j: (bi, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, tb), lambda bi, i, j: (bi, i, j), memory_space=pltpu.VMEM),
+            # The i-indexed partial lives on its own leading axis and keeps a
+            # singleton second-to-last dim: Mosaic requires the block's last
+            # two dims be divisible by (8, 128) or EQUAL to the array dims —
+            # (1, tb) vs array (1, M) satisfies that, while a (1, 1, tb)
+            # block over (B, n_i, M) does not (n_i is not a tile multiple).
+            pl.BlockSpec((1, 1, 1, tb), lambda bi, i, j: (bi, i, 0, j), memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((bsz, a.shape[1], 1), jnp.float32),
-            jax.ShapeDtypeStruct((bsz, n_i, bt.shape[2]), jnp.float32),
+            jax.ShapeDtypeStruct((bsz, n_i, 1, bt.shape[2]), jnp.float32),
         ],
         interpret=interpret,
     )(a, bt)
-    return row[:, :n, 0], jnp.min(colpart, axis=1)[:, :m]
+    return row[:, :n, 0], jnp.min(colpart[:, :, 0, :], axis=1)[:, :m]
 
 
 def _pad_rows(x: jax.Array, mult: int, value: float) -> jax.Array:
