@@ -102,12 +102,25 @@ def main():
     surface_d = jax.device_put(surface.astype(np.float32))
     key = jax.random.PRNGKey(17)
 
+    def _sync(out):
+        # On the tunneled axon backend `jax.block_until_ready` returns
+        # immediately (execution only provably completes at D2H readback —
+        # the same reason perf_probe_attrib's stage is called
+        # "metrics_readback"). Force a real sync by reading ONE element of
+        # the first output leaf: every timed fn is a single XLA program, so
+        # no output is readable before the whole program has executed; the
+        # 0-d slice keeps the D2H payload at 4 bytes (one dispatch + RTT of
+        # overhead — the sync_overhead_floor row below measures it).
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        jax.device_get(leaf[(0,) * leaf.ndim] if leaf.ndim else leaf)
+        return out
+
     def timed(name, fn, *args, **kwargs):
-        out = jax.block_until_ready(fn(*args, **kwargs))  # compile + warm
+        out = _sync(fn(*args, **kwargs))  # compile + warm
         best = []
         for _ in range(reps):
             t0 = time.perf_counter()
-            jax.block_until_ready(fn(*args, **kwargs))
+            _sync(fn(*args, **kwargs))
             best.append(time.perf_counter() - t0)
         ms = min(best) * 1000
         print(f"{name:28s} {ms:9.1f} ms", flush=True)
@@ -115,6 +128,12 @@ def main():
         return out
 
     results: dict = {}
+
+    # --- sync-overhead floor: dispatch + 4-byte readback of a trivial op.
+    # Every stage row below includes roughly this much tunnel overhead per
+    # output leaf; rows near this floor are "free" stages, not zero-cost.
+    _tiny = jax.device_put(np.zeros((8, 128), np.float32))
+    timed("sync_overhead_floor", jax.jit(lambda x: x + 1.0), _tiny)
 
     # --- the whole fused program (the published path) ---
     timed(

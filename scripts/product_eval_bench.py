@@ -179,6 +179,9 @@ def main():
         out["stage_attribution_s"] = stage_report
         out["note"] += "; PROFILED run (stage attribution serializes overlap)"
     name = "product_eval_attrib.json" if profile or max_batches else "product_eval_bench.json"
+    if int8_env and not (profile or max_batches):
+        # keep the bf16 (product-default) artifact; int8 runs get their own
+        name = f"product_eval_bench_int8_{'static' if int8_env == 'static' else 'dynamic'}.json"
     path = REPO / "docs" / "artifacts" / name
     path.write_text(json.dumps(out, indent=2) + "\n")
     print(json.dumps(out["passes"]["timed"]), flush=True)
