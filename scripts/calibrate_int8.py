@@ -17,10 +17,16 @@ Usage:
   python scripts/calibrate_int8.py [CURVES_ROOT] [CKPT] [NUM_BATCHES] [MARGIN]
     CURVES_ROOT: tree from scripts/rerun_to_convergence.sh (default /tmp/curves)
     CKPT:        stage-2 checkpoint dir (default <root>/out_gen/checkpoint-479)
-    NUM_BATCHES: eval batches to calibrate on (default 2)
-    MARGIN:      multiplier on the observed amax (default 1.05 — activations
+    NUM_BATCHES: eval batches to calibrate on (default 8)
+    MARGIN:      multiplier on the observed amax (default 1.10 — activations
                  above the calibrated scale saturate at eval time with int8
                  clip semantics, so a small sample needs headroom)
+
+The defaults encode the round-5 gate failure: a 2-batch / 1.05-margin
+calibration FAILED the ΔIoU ≤ 0.0005 bar on the converged rerun checkpoint
+(ΔIoU −0.0008, CD +0.017 m — docs/artifacts/int8_gate_checkpoint-479.json),
+consistent with eval-time activations clipping above the under-sampled amax.
+Any future gate attempt starts from ≥8 batches and 1.10 headroom.
 
 Writes <CKPT>/int8_act_scales.npz — the default path the engine loads when
 ``int8_ff: "static"`` is set. Quality-gate the result with
@@ -44,8 +50,8 @@ from rald_tpu.config import Config  # noqa: E402
 def main():
     root = Path(sys.argv[1]) if len(sys.argv) > 1 else Path("/tmp/curves")
     ckpt = Path(sys.argv[2]) if len(sys.argv) > 2 else root / "out_gen" / "checkpoint-479"
-    num_batches = int(sys.argv[3]) if len(sys.argv) > 3 else 2
-    margin = float(sys.argv[4]) if len(sys.argv) > 4 else 1.05
+    num_batches = int(sys.argv[3]) if len(sys.argv) > 3 else 8
+    margin = float(sys.argv[4]) if len(sys.argv) > 4 else 1.10
     assert ckpt.exists(), f"no checkpoint at {ckpt}"
 
     if os.environ.get("RALD_BENCH_CPU") == "1":  # harness smoke tests
